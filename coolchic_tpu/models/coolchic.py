@@ -1,0 +1,230 @@
+"""The Cool-chic frame decoder as a pure function of a parameter pytree.
+
+Parameters of one frame:
+    {
+      "latents":    [ [C_i, H_i, W_i] f32, ... ]    # hierarchical grids
+      "arm":        {"layers": [{"weight", "bias"}, ...]}
+      "upsampling": {"ups": [...half kernels...], "preconcat": [...]}
+      "synthesis":  {"layers": [{"weight", "bias"}, ...]}
+    }
+
+``coolchic_forward`` reproduces the RD math of the reference forward pass
+(reference: coolchic/enc/component/coolchic.py:291-479): quantize the gained
+latents, measure their rate with the teacher-forced ARM, upsample and
+synthesize. Batching over images/candidates is done with ``jax.vmap`` from
+the outside — nothing here carries a batch dimension.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from coolchic_tpu.models.arm import (
+    arm_apply,
+    get_neighbors,
+    init_arm_params,
+    latent_rate_bits,
+)
+from coolchic_tpu.models.config import CoolChicConfig
+from coolchic_tpu.models.quantizer import quantize
+from coolchic_tpu.models.synthesis import init_synthesis_params, synthesis_apply
+from coolchic_tpu.models.upsampling import init_upsampling_params, upsampling_apply
+
+Params = Dict[str, Any]
+
+
+def init_coolchic_params(
+    key: jax.Array,
+    cfg: CoolChicConfig,
+    latent_init: str = "zeros",
+    dtype=jnp.float32,
+) -> Params:
+    """Build the parameter pytree for one frame.
+
+    Latents start at zero (reference: coolchic.py:513-531 default) or at
+    1e-2 * N(0,1) when ``latent_init == "normal"`` (used to diversify warm-up
+    candidates, reference: retrain_latents.py:83-88).
+    """
+    k_lat, k_arm, k_syn = jax.random.split(key, 3)
+    latents: List[jax.Array] = []
+    for shape in cfg.latent_shapes:
+        if latent_init == "zeros":
+            latents.append(jnp.zeros(shape, dtype))
+        else:
+            k_lat, sub = jax.random.split(k_lat)
+            latents.append(1e-2 * jax.random.normal(sub, shape, dtype))
+
+    return {
+        "latents": latents,
+        "arm": init_arm_params(k_arm, cfg.dim_arm, cfg.n_hidden_layers_arm, dtype),
+        "upsampling": init_upsampling_params(
+            cfg.ups_k_size,
+            cfg.ups_preconcat_k_size,
+            n_ups_kernel=cfg.latent_n_grids - 1,
+            n_ups_preconcat_kernel=cfg.latent_n_grids - 1,
+            dtype=dtype,
+        ),
+        "synthesis": init_synthesis_params(
+            k_syn,
+            cfg.total_latent_channels,
+            cfg.parsed_synthesis_layers(),
+            dtype=dtype,
+        ),
+    }
+
+
+def coolchic_forward(
+    params: Params,
+    cfg: CoolChicConfig,
+    key: Optional[jax.Array] = None,
+    quantizer_noise_type: str = "kumaraswamy",
+    quantizer_type: str = "softround",
+    soft_round_temperature: jax.Array | float = 0.3,
+    noise_parameter: jax.Array | float = 1.0,
+    ac_max_val: int = -1,
+    training: bool = True,
+) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
+    """Cool-chic forward pass (reference: coolchic.py:291-479).
+
+    1. y_hat = Q(gain * y) per latent grid. In eval mode the quantizer is
+       forced to hardround with no noise (reference: coolchic.py:365-371).
+    2. Rate via teacher-forced ARM + Laplace CDF over all grids at once.
+    3. Dense latent via upsampling, image via synthesis.
+
+    Args:
+        params: parameter pytree (see module docstring).
+        cfg: static architecture description.
+        key: PRNG key, required when training with noise.
+        ac_max_val: if != -1, clamp y_hat to [-ac_max_val, ac_max_val + 1]
+            (bitstream writing path).
+        training: static flag; False selects the eval quantizer.
+
+    Returns:
+        (raw_out [C_out, H, W], rate_bits [n_latents], extras) where extras
+        holds mu / log_scale / y_hat per-latent tensors for the bitstream
+        writer and logs.
+    """
+    noise_type = quantizer_noise_type if training else "none"
+    q_type = quantizer_type if training else "hardround"
+
+    n_grids = cfg.latent_n_grids
+    keys = (
+        jax.random.split(key, n_grids)
+        if (key is not None and noise_type != "none")
+        else [None] * n_grids
+    )
+
+    y_hat: List[jax.Array] = []
+    for latent, sub in zip(params["latents"], keys):
+        q = quantize(
+            latent * cfg.encoder_gain,
+            sub,
+            noise_type,
+            q_type,
+            soft_round_temperature,
+            noise_parameter,
+        )
+        if ac_max_val != -1:
+            q = jnp.clip(q, -ac_max_val, ac_max_val + 1)
+        y_hat.append(q)
+
+    # ----- ARM over all grids at once: one [M, C] x [C, C] matmul chain.
+    flat_context = jnp.concatenate(
+        [get_neighbors(y, cfg.dim_arm) for y in y_hat], axis=0
+    )
+    mu, scale, log_scale = arm_apply(params["arm"], flat_context)
+    flat_latent = jnp.concatenate([y.reshape(-1) for y in y_hat], axis=0)
+    rate = latent_rate_bits(flat_latent, mu, scale)
+
+    # ----- Upsample + synthesize.
+    dense = upsampling_apply(
+        params["upsampling"], y_hat, cfg.ups_k_size, cfg.ups_preconcat_k_size
+    )
+    raw_out = synthesis_apply(params["synthesis"], dense, cfg.parsed_synthesis_layers())
+
+    extras = {"mu": mu, "log_scale": log_scale, "flat_latent": flat_latent}
+    return raw_out, rate, extras
+
+
+def frame_forward(
+    params: Params,
+    cfg: CoolChicConfig,
+    key: Optional[jax.Array] = None,
+    quantizer_noise_type: str = "kumaraswamy",
+    quantizer_type: str = "softround",
+    soft_round_temperature: jax.Array | float = 0.3,
+    noise_parameter: jax.Array | float = 1.0,
+    ac_max_val: int = -1,
+    training: bool = True,
+    bitdepth: int = 8,
+) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
+    """Frame-level forward (reference: coolchic/enc/component/frame.py:93-196).
+
+    On top of ``coolchic_forward``: in eval mode, simulate the round-trip to
+    an integer file (round to ``2^bitdepth - 1`` levels) then clamp to
+    [0, 1]. (YUV420 down-conversion is handled by the YUV I/O layer.)
+    """
+    raw_out, rate, extras = coolchic_forward(
+        params,
+        cfg,
+        key=key,
+        quantizer_noise_type=quantizer_noise_type,
+        quantizer_type=quantizer_type,
+        soft_round_temperature=soft_round_temperature,
+        noise_parameter=noise_parameter,
+        ac_max_val=ac_max_val,
+        training=training,
+    )
+    decoded = raw_out
+    if not training:
+        max_dynamic = 2.0**bitdepth - 1.0
+        decoded = jnp.round(decoded * max_dynamic) / max_dynamic
+    decoded = jnp.clip(decoded, 0.0, 1.0)
+    return decoded, rate, extras
+
+
+# --------------------------------------------------------------------------- #
+# Complexity accounting (MAC / decoded pixel), replacing fvcore
+# (reference: coolchic.py:611-650, 716-728). Counted analytically on the
+# *eval* path: separable 1-D upsampling passes, as the C++ decoder runs them.
+# --------------------------------------------------------------------------- #
+def macs_per_pixel(cfg: CoolChicConfig) -> Dict[str, float]:
+    """Analytic multiply-accumulate count per decoded pixel."""
+    h, w = cfg.img_size
+    n_pix = h * w
+    shapes = cfg.latent_shapes
+
+    # ARM: per latent pixel, n_hidden residual CxC matmuls + Cx2 head.
+    n_latents = sum(c * hh * ww for c, hh, ww in shapes)
+    arm_macs = n_latents * (
+        cfg.n_hidden_layers_arm * cfg.dim_arm * cfg.dim_arm + cfg.dim_arm * 2
+    )
+
+    # Upsampling (separable eval path): each x2 step runs two 1-D passes of
+    # size ups_k over every output pixel, plus the pre-concat filter's two
+    # 1-D passes of size ups_preconcat_k over the target grid.
+    ups_macs = 0
+    acc_px = shapes[-1][0] * shapes[-1][1] * shapes[-1][2]
+    for i in range(len(shapes) - 2, -1, -1):
+        c_i, h_i, w_i = shapes[i]
+        up_px = 4 * acc_px  # 2x upsampling of the running tensor
+        ups_macs += up_px * 2 * cfg.ups_k_size
+        ups_macs += (c_i * h_i * w_i) * 2 * cfg.ups_preconcat_k_size
+        acc_px = up_px + c_i * h_i * w_i  # after crop this slightly overcounts
+    # Synthesis: dense convs at full resolution.
+    syn_macs = 0
+    in_ft = cfg.total_latent_channels
+    for out_ft, k_size, _res, _relu in cfg.parsed_synthesis_layers():
+        syn_macs += n_pix * in_ft * out_ft * k_size * k_size
+        in_ft = out_ft
+
+    total = arm_macs + ups_macs + syn_macs
+    return {
+        "arm": arm_macs / n_pix,
+        "upsampling": ups_macs / n_pix,
+        "synthesis": syn_macs / n_pix,
+        "total": total / n_pix,
+    }

@@ -1,0 +1,88 @@
+"""Synthesis transform: a small stack of 2-D convolutions.
+
+Turns the dense upsampled latent [C_in, H, W] into the output image
+[C_out, H, W]. Layers are described by spec strings
+``"<out_ft>-<kernel_size>-<linear|residual>-<none|relu>"``
+(reference: coolchic/enc/component/core/synthesis.py:175-277).
+
+Convolutions use replicate padding (reference: synthesis.py:78) — note this
+differs from the ARM's zero padding; both pad modes are format semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NCHW", "OIHW", "NCHW")
+
+
+def init_synthesis_params(
+    key: jax.Array,
+    input_ft: int,
+    parsed_layers: Sequence[Tuple[int, int, bool, bool]],
+    dtype=jnp.float32,
+) -> Dict[str, List[Dict[str, jax.Array]]]:
+    """Initialize the conv stack (reference: synthesis.py:86-116).
+
+    * Biases are zero.
+    * Residual layers start at zero.
+    * Linear layers ~ U(-sqrt(k), sqrt(k)) / out_ft^2 with
+      k = 1 / (C_in * kernel_size^2).
+    """
+    layers = []
+    in_ft = input_ft
+    for out_ft, k_size, residual, _relu in parsed_layers:
+        shape = (out_ft, in_ft, k_size, k_size)
+        if residual:
+            weight = jnp.zeros(shape, dtype)
+        else:
+            key, sub = jax.random.split(key)
+            sqrt_k = math.sqrt(1.0 / (in_ft * k_size * k_size))
+            weight = (
+                (jax.random.uniform(sub, shape, dtype) - 0.5)
+                * 2.0
+                * sqrt_k
+                / out_ft**2
+            )
+        layers.append({"weight": weight, "bias": jnp.zeros((out_ft,), dtype)})
+        in_ft = out_ft
+    return {"layers": layers}
+
+
+def synthesis_apply(
+    params: Dict[str, List[Dict[str, jax.Array]]],
+    x: jax.Array,
+    parsed_layers: Sequence[Tuple[int, int, bool, bool]],
+) -> jax.Array:
+    """Apply the synthesis stack to a dense latent [C_in, H, W].
+
+    Each layer: replicate-pad, conv, optional residual add, optional ReLU
+    (non-linearity applied after the residual, reference: synthesis.py:69-84,
+    255-262).
+    """
+    for layer, (out_ft, k_size, residual, relu) in zip(
+        params["layers"], parsed_layers
+    ):
+        pad = (k_size - 1) // 2
+        x4 = x[None]  # [1, C, H, W]
+        if pad:
+            x4 = jnp.pad(x4, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+        y = lax.conv_general_dilated(
+            x4,
+            layer["weight"],
+            (1, 1),
+            "VALID",
+            dimension_numbers=_DN,
+            preferred_element_type=jnp.float32,
+        )[0] + layer["bias"][:, None, None]
+        if residual:
+            y = y + x
+        if relu:
+            y = jax.nn.relu(y)
+        x = y
+    return x

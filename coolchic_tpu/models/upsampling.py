@@ -1,0 +1,151 @@
+"""Learned upsampling: symmetric separable filters, cascaded x2 steps.
+
+The hierarchical latents (dyadic pyramid) are merged into a dense
+[sum(C_i), H, W] tensor by repeatedly (a) filtering the higher-resolution
+grid with an odd "pre-concat" conv (Dirac-initialized, residual) and
+(b) upsampling the running tensor x2 with an even transposed conv
+(bilinear/bicubic-initialized), then concatenating
+(reference: coolchic/enc/component/core/upsampling.py:358-506).
+
+TPU-first design notes:
+  * The reference stores the *half* kernel and mirrors it on access via
+    ``torch.nn.utils.parametrize``. Here the mirror is an explicit pure
+    function (``symmetric_kernel_1d``) applied at use-time — the same trick
+    the fixed-point decoder uses (reference: cpp/cc-frame-decoder.cpp:188-199).
+  * We always build the full 2-D outer-product kernel and run a single conv:
+    at these sizes (<= 8x8 kernels, single channel folded into the batch
+    dim) XLA lowers this efficiently, and it matches the reference training
+    path bit-for-bit in float (upsampling.py:194-209 "train using
+    non-separable").
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NCHW", "OIHW", "NCHW")
+
+
+def half_kernel_size(target_k_size: int) -> int:
+    """Number of free parameters of a symmetric kernel of size k
+    (reference: upsampling.py:70-89)."""
+    return (target_k_size + 1) // 2
+
+
+def symmetric_kernel_1d(half: jax.Array, target_k_size: int) -> jax.Array:
+    """Mirror the half kernel into the full symmetric 1-D kernel:
+    (a b c) -> (a b c c b a) for even k, (a b c b a) for odd k
+    (reference: upsampling.py:46-68)."""
+    return jnp.concatenate([half, jnp.flip(half)[target_k_size % 2 :]])
+
+
+def _outer_kernel(half: jax.Array, k: int) -> jax.Array:
+    """[1, 1, k, k] separable 2-D kernel from the half parameterization."""
+    w1d = symmetric_kernel_1d(half, k)
+    return jnp.outer(w1d, w1d)[None, None]
+
+
+# --------------------------------------------------------------------------- #
+# Initialization (reference: upsampling.py:135-166, 255-295)
+# --------------------------------------------------------------------------- #
+def init_upsampling_params(
+    ups_k_size: int,
+    ups_preconcat_k_size: int,
+    n_ups_kernel: int,
+    n_ups_preconcat_kernel: int,
+    dtype=jnp.float32,
+) -> Dict[str, List[jax.Array]]:
+    """Half-kernel parameters for every upsampling / pre-concat filter.
+
+    * x2 transposed-conv filters: bilinear taps (1/4, 3/4) for k < 8, else
+      the reference's 4-tap core, right-aligned with zero padding.
+    * pre-concat filters: Dirac (all zero, last element 1).
+    """
+    n_half_ups = half_kernel_size(ups_k_size)
+    if ups_k_size < 8:
+        core = jnp.array([1.0 / 4.0, 3.0 / 4.0], dtype)
+    else:
+        core = jnp.array([0.0351562, 0.1054687, -0.2617187, -0.8789063], dtype)
+    ups_half = jnp.zeros((n_half_ups,), dtype).at[n_half_ups - core.shape[0] :].set(core)
+
+    n_half_pre = half_kernel_size(ups_preconcat_k_size)
+    pre_half = jnp.zeros((n_half_pre,), dtype).at[-1].set(1.0)
+
+    return {
+        "ups": [ups_half for _ in range(n_ups_kernel)],
+        "preconcat": [pre_half for _ in range(n_ups_preconcat_kernel)],
+    }
+
+
+# --------------------------------------------------------------------------- #
+# Forward
+# --------------------------------------------------------------------------- #
+def upsample_x2(x: jax.Array, half: jax.Array, k: int) -> jax.Array:
+    """x2 spatial upsampling of a [C, H, W] tensor with a symmetric separable
+    even kernel (reference: upsampling.py:297-355): replicate-pad by k//2,
+    stride-2 transposed conv, then crop k - 1 + k//2 on every side, yielding
+    exactly [C, 2H, 2W]."""
+    p0 = k // 2
+    crop = 2 * p0 - 1 + k // 2
+    c, h, w = x.shape
+    x4 = x[:, None]  # channels folded into batch: [C, 1, H, W]
+    x4 = jnp.pad(x4, ((0, 0), (0, 0), (p0, p0), (p0, p0)), mode="edge")
+    y = lax.conv_transpose(
+        x4,
+        _outer_kernel(half, k),
+        strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=_DN,
+    )
+    y = y[:, 0, crop:-crop, crop:-crop]
+    return y
+
+
+def preconcat_filter(x: jax.Array, half: jax.Array, k: int) -> jax.Array:
+    """Symmetric separable odd-kernel conv with zero padding and a residual
+    connection, applied channel-wise on a [C, H, W] tensor
+    (reference: upsampling.py:168-209)."""
+    pad = k // 2
+    x4 = x[:, None]
+    x4 = jnp.pad(x4, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    y = lax.conv_general_dilated(
+        x4, _outer_kernel(half, k), (1, 1), "VALID", dimension_numbers=_DN
+    )
+    return y[:, 0] + x
+
+
+def upsampling_apply(
+    params: Dict[str, List[jax.Array]],
+    latents: Sequence[jax.Array],
+    ups_k_size: int,
+    ups_preconcat_k_size: int,
+) -> jax.Array:
+    """Cascade from the smallest grid up (reference: upsampling.py:476-506).
+
+    Args:
+        params: output of ``init_upsampling_params``.
+        latents: list of [C_i, H_i, W_i] grids, largest first.
+
+    Returns:
+        Dense [sum(C_i), H_0, W_0] representation (synthesis input).
+        Channel order matches the reference: at each step the freshly
+        filtered high-res grid is concatenated *before* the upsampled
+        running tensor, so the final order is grid 0, grid 1, ..., grid L-1.
+    """
+    n_ups = len(params["ups"])
+    n_pre = len(params["preconcat"])
+    latents_rev = list(reversed(latents))
+    acc = latents_rev[0]
+    for idx, target in enumerate(latents_rev[1:]):
+        x = upsample_x2(acc, params["ups"][idx % n_ups], ups_k_size)
+        # Crop to the (ceil-divided) target resolution before concatenation.
+        x = x[:, : target.shape[-2], : target.shape[-1]]
+        high = preconcat_filter(
+            target, params["preconcat"][idx % n_pre], ups_preconcat_k_size
+        )
+        acc = jnp.concatenate([high, x], axis=0)
+    return acc

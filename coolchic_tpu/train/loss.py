@@ -1,0 +1,55 @@
+"""Rate-distortion loss (reference: coolchic/enc/training/loss.py:90-163).
+
+loss = MSE(x, x_hat) + lmbda * (R_latent + R_nn) / n_pixels
+
+R_nn (network rate) carries no gradient — it only makes the RD cost honest
+(reference: loss.py:111-115).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LossOutput(NamedTuple):
+    loss: jax.Array  # scalar RD cost
+    mse: jax.Array  # scalar
+    psnr_db: jax.Array  # scalar
+    rate_latent_bpp: jax.Array  # scalar
+    rate_nn_bpp: jax.Array  # scalar
+    total_rate_bpp: jax.Array  # scalar
+
+
+def loss_function(
+    decoded: jax.Array,
+    rate_bits: jax.Array,
+    target: jax.Array,
+    lmbda: float | jax.Array,
+    rate_nn_bits: float | jax.Array = 0.0,
+) -> LossOutput:
+    """Compute the RD loss for one frame.
+
+    Args:
+        decoded: [C, H, W] decoded image in [0, 1].
+        rate_bits: [n_latents] per-latent rate in bits.
+        target: [C, H, W] original image.
+        lmbda: rate weight.
+        rate_nn_bits: total network-weights rate in bits (no gradient).
+    """
+    mse = jnp.mean((decoded - target) ** 2)
+    n_pixels = decoded.shape[-2] * decoded.shape[-1]
+    rate_latent_bits = jnp.sum(rate_bits)
+    rate_bpp = (rate_latent_bits + rate_nn_bits) / n_pixels
+    loss = mse + lmbda * rate_bpp
+    psnr_db = -10.0 * jnp.log10(mse + 1e-10)
+    return LossOutput(
+        loss=loss,
+        mse=mse,
+        psnr_db=psnr_db,
+        rate_latent_bpp=rate_latent_bits / n_pixels,
+        rate_nn_bpp=rate_nn_bits / n_pixels * jnp.ones(()),
+        total_rate_bpp=rate_bpp,
+    )
