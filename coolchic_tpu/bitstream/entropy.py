@@ -1,0 +1,188 @@
+"""ctypes bindings for the host C++ entropy backend (cpp/entropy_api.cpp).
+
+Builds libccz.so on first use (g++ -O3). The backend implements the
+reference's encoder-side entropy API (reference: coolchic/cpp/ccencapi.cpp)
+without pybind11.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_CPP_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "cpp")
+)
+_LIB_PATH = os.path.join(_CPP_DIR, "libccz.so")
+_SOURCES = ["entropy_api.cpp"]
+_HEADERS = ["cabac.hpp", "gen_contexts.inc"]
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for f in _SOURCES + _HEADERS:
+        p = os.path.join(_CPP_DIR, f)
+        if os.path.exists(p) and os.path.getmtime(p) > lib_mtime:
+            return True
+    return False
+
+
+def build_library() -> str:
+    inc = os.path.join(_CPP_DIR, "gen_contexts.inc")
+    if not os.path.exists(inc):
+        from coolchic_tpu.bitstream.contexts import emit_inc_file
+
+        emit_inc_file(inc)
+    cmd = (
+        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC"]
+        + [os.path.join(_CPP_DIR, s) for s in _SOURCES]
+        + ["-o", _LIB_PATH]
+    )
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if _needs_build():
+        build_library()
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    lib.ccz_buffer_free.argtypes = [u8p]
+    lib.ccz_code_wb.restype = ctypes.c_int
+    lib.ccz_code_wb.argtypes = [
+        i32p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(u8p),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ccz_code_latent_layer.argtypes = [
+        i32p,
+        i32p,
+        i32p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(u8p),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ccz_decode_latent_layer.argtypes = [
+        u8p,
+        ctypes.c_int,
+        i32p,
+        i32p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        i32p,
+    ]
+    lib.ccz_wb_decoder_new.restype = ctypes.c_void_p
+    lib.ccz_wb_decoder_new.argtypes = [u8p, ctypes.c_int]
+    lib.ccz_wb_decoder_continue.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        i32p,
+    ]
+    lib.ccz_wb_decoder_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _as_i32(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a).reshape(-1), np.int32)
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def code_wb(values, use_count: int = -1) -> Tuple[bytes, int]:
+    """Entropy-code integer weights/biases. Returns (bytes, exp-Golomb order
+    used); use_count=-1 searches orders 0..12 for the smallest stream
+    (reference: ccencapi.cpp:97-177)."""
+    lib = _load()
+    v = _as_i32(values)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_int()
+    count = lib.ccz_code_wb(
+        _i32p(v), len(v), use_count, ctypes.byref(out), ctypes.byref(out_len)
+    )
+    data = ctypes.string_at(out, out_len.value)
+    lib.ccz_buffer_free(out)
+    return data, count
+
+
+class WbDecoder:
+    """Streaming decoder for concatenated weight/bias substreams
+    (reference: ccencapi.cpp:412-454)."""
+
+    def __init__(self, data: bytes):
+        self._lib = _load()
+        self._buf = np.frombuffer(data, np.uint8).copy()
+        self._h = self._lib.ccz_wb_decoder_new(
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(self._buf)
+        )
+
+    def decode_continue(self, n: int, count: int) -> np.ndarray:
+        out = np.empty(n, np.int32)
+        self._lib.ccz_wb_decoder_continue(self._h, n, count, _i32p(out))
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.ccz_wb_decoder_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def code_latent_layer(xs, mus, log_scales, h: int, w: int, blk: int = 16) -> bytes:
+    """Entropy-code one 2-D latent grid. xs are integer latents; mus /
+    log_scales are fixed-point ints at 8 fractional bits (x256)
+    (reference: ccencapi.cpp:179-365, called from enc/bitstream/encode.py
+    with mu*256 / log_scale*256)."""
+    lib = _load()
+    xs, mus, ls = _as_i32(xs), _as_i32(mus), _as_i32(log_scales)
+    assert len(xs) == h * w == len(mus) == len(ls)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_int()
+    lib.ccz_code_latent_layer(
+        _i32p(xs), _i32p(mus), _i32p(ls), h, w, blk,
+        ctypes.byref(out), ctypes.byref(out_len),
+    )
+    data = ctypes.string_at(out, out_len.value)
+    lib.ccz_buffer_free(out)
+    return data
+
+
+def decode_latent_layer(data: bytes, mus, log_scales, h: int, w: int, blk: int = 16) -> np.ndarray:
+    """Teacher-forced latent-layer decode (round-trip testing; the real
+    decoder derives mu/sigma sequentially with the integer ARM)."""
+    lib = _load()
+    mus, ls = _as_i32(mus), _as_i32(log_scales)
+    buf = np.frombuffer(data, np.uint8).copy()
+    out = np.empty(h * w, np.int32)
+    lib.ccz_decode_latent_layer(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        _i32p(mus), _i32p(ls), h, w, blk, _i32p(out),
+    )
+    return out.reshape(h, w)
