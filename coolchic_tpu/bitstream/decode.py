@@ -1,0 +1,117 @@
+"""Bitstream decoder: bytes -> reconstructed image.
+
+Pipeline (reference: coolchic/cpp/cc-frame-decoder.cpp:1152-1168):
+  1. parse GOP + frame headers,
+  2. CABAC-decode and dequantize the three networks,
+  3. sequentially decode every 2-D latent grid with the int32 ARM (C++
+     backend, reference run_arm/arm_cpu),
+  4. upsample + synthesize.
+
+Stage 4 currently runs the float reference math (JAX on host CPU), which is
+numerically identical to the encoder's eval forward on the same quantized
+weights; the fixed-point integer upsampling/synthesis of the reference C++
+decoder (cpp/ups_*.hpp, syn_*.hpp) is the next milestone for standalone
+integer-exact decoding.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from coolchic_tpu.bitstream.armint import integerize_arm_params
+from coolchic_tpu.bitstream.encode import _decode_network
+from coolchic_tpu.bitstream.entropy import decode_arm_latent_layer
+from coolchic_tpu.bitstream.header import (
+    FrameHeader,
+    GopHeader,
+    read_frame_header,
+    read_gop_header,
+)
+from coolchic_tpu.models.config import CoolChicConfig
+
+
+def cfg_from_headers(gop: GopHeader, fh: FrameHeader) -> CoolChicConfig:
+    return CoolChicConfig(
+        img_size=gop.img_size,
+        layers_synthesis=tuple(fh.layers_synthesis),
+        n_ft_per_res=tuple(fh.n_ft_per_latent),
+        dim_arm=fh.dim_arm,
+        n_hidden_layers_arm=fh.n_hidden_layers_arm,
+        ups_k_size=fh.ups_k_size,
+        ups_preconcat_k_size=fh.ups_preconcat_k_size,
+    )
+
+
+def decode_bitstream(data: bytes) -> Tuple[np.ndarray, Dict]:
+    """Decode a single-image bitstream.
+
+    Returns:
+        (decoded image [C, H, W] float in [0, 1], info dict with the parsed
+        headers, params and decoded latents).
+    """
+    gop = read_gop_header(data)
+    ptr = gop.n_bytes_header
+    fh = read_frame_header(data[ptr:])
+    ptr += fh.n_bytes_header
+    cfg = cfg_from_headers(gop, fh)
+
+    # ----- NN streams.
+    streams = {m: {} for m in ("arm", "upsampling", "synthesis")}
+    for m in ("arm", "upsampling", "synthesis"):
+        for p in ("weight", "bias"):
+            n = fh.n_bytes_nn[m][p]
+            streams[m][p] = data[ptr : ptr + n]
+            ptr += n
+    params = _decode_network(cfg, streams, fh.q_step_index_nn, fh.scale_index_nn)
+    arm_int = integerize_arm_params(params["arm"])
+
+    # ----- Latent grids (sequential autoregressive decode).
+    latents: List[np.ndarray] = []
+    grid_idx = 0
+    for c_i, h_i, w_i in cfg.latent_shapes:
+        planes = []
+        for _ft in range(c_i):
+            n = fh.n_bytes_per_latent[grid_idx]
+            if n == 0:
+                planes.append(np.zeros((h_i, w_i), np.int32))
+            else:
+                planes.append(
+                    decode_arm_latent_layer(
+                        data[ptr : ptr + n],
+                        arm_int,
+                        cfg.dim_arm,
+                        cfg.n_hidden_layers_arm,
+                        h_i,
+                        w_i,
+                        fh.hls_sig_blksize,
+                    )
+                )
+            ptr += n
+            grid_idx += 1
+        latents.append(np.stack(planes, 0))
+
+    # ----- Upsample + synthesize (float path, see module docstring).
+    import jax
+    import jax.numpy as jnp
+
+    from coolchic_tpu.models.synthesis import synthesis_apply
+    from coolchic_tpu.models.upsampling import upsampling_apply
+
+    jparams_syn = jax.tree.map(jnp.asarray, params["synthesis"])
+    jparams_ups = jax.tree.map(jnp.asarray, params["upsampling"])
+    y = [jnp.asarray(l, jnp.float32) for l in latents]
+    dense = upsampling_apply(jparams_ups, y, cfg.ups_k_size, cfg.ups_preconcat_k_size)
+    raw = synthesis_apply(jparams_syn, dense, cfg.parsed_synthesis_layers())
+    max_dyn = 2.0**gop.bitdepth - 1.0
+    img = jnp.clip(jnp.round(raw * max_dyn) / max_dyn, 0.0, 1.0)
+
+    info = {
+        "gop_header": gop,
+        "frame_header": fh,
+        "cfg": cfg,
+        "params": params,
+        "latents": latents,
+    }
+    return np.asarray(img), info

@@ -18,7 +18,7 @@ _CPP_DIR = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "cpp")
 )
 _LIB_PATH = os.path.join(_CPP_DIR, "libccz.so")
-_SOURCES = ["entropy_api.cpp"]
+_SOURCES = ["entropy_api.cpp", "arm_decode.cpp"]
 _HEADERS = ["cabac.hpp", "gen_contexts.inc"]
 
 _lib: Optional[ctypes.CDLL] = None
@@ -99,6 +99,14 @@ def _load() -> ctypes.CDLL:
         i32p,
     ]
     lib.ccz_wb_decoder_free.argtypes = [ctypes.c_void_p]
+    lib.ccz_decode_arm_latent_layer.argtypes = [
+        u8p, ctypes.c_int,  # data
+        i32p, i32p,  # weights, biases
+        ctypes.c_int, ctypes.c_int,  # dim_arm, n_hidden
+        i32p, i32p,  # ctx offsets dy, dx
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # h, w, blk
+        i32p,  # out
+    ]
     _lib = lib
     return lib
 
@@ -172,6 +180,37 @@ def code_latent_layer(xs, mus, log_scales, h: int, w: int, blk: int = 16) -> byt
     data = ctypes.string_at(out, out_len.value)
     lib.ccz_buffer_free(out)
     return data
+
+
+def decode_arm_latent_layer(
+    data: bytes,
+    int_layers,
+    dim_arm: int,
+    n_hidden: int,
+    h: int,
+    w: int,
+    blk: int = 16,
+) -> np.ndarray:
+    """Sequential autoregressive decode of one latent grid: the C++ backend
+    runs CABAC + the int32 ARM pixel by pixel (reference:
+    cpp/cc-frame-decoder.cpp run_arm). ``int_layers`` is the output of
+    armint.integerize_arm_params."""
+    from coolchic_tpu.models.arm import MASK_SIZE, context_offsets
+
+    lib = _load()
+    weights = _as_i32(np.concatenate([l["weight"].reshape(-1) for l in int_layers]))
+    biases = _as_i32(np.concatenate([l["bias"].reshape(-1) for l in int_layers]))
+    offs = context_offsets(dim_arm)
+    dy = _as_i32([o[0] for o in offs])
+    dx = _as_i32([o[1] for o in offs])
+    buf = np.frombuffer(data, np.uint8).copy()
+    out = np.empty(h * w, np.int32)
+    lib.ccz_decode_arm_latent_layer(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        _i32p(weights), _i32p(biases), dim_arm, n_hidden,
+        _i32p(dy), _i32p(dx), h, w, blk, _i32p(out),
+    )
+    return out.reshape(h, w)
 
 
 def decode_latent_layer(data: bytes, mus, log_scales, h: int, w: int, blk: int = 16) -> np.ndarray:
