@@ -100,6 +100,36 @@ def encode_frame(
     return EncodeResult(params, logs.loss, logs.psnr_db, logs.rate_latent_bpp)
 
 
+def encode_frame_with_quant_info(
+    key: jax.Array,
+    target: jax.Array,
+    lmbda: jax.Array | float,
+    cfg: CoolChicConfig,
+    preset: Preset,
+):
+    """Like ``encode_frame`` but also returns the NN-quantization choices
+    needed by the bitstream writer (q-steps + exp-Golomb orders per module).
+
+    Returns:
+        (EncodeResult, infos dict or None) — infos is None when the preset
+        never quantizes the networks.
+    """
+    from coolchic_tpu.train.quantize_model import quantize_model_with_info
+
+    params = warmup(key, target, lmbda, cfg, preset.warmup)
+    logs: Optional[PhaseLogs] = None
+    infos = None
+    for idx, phase in enumerate(preset.all_phases):
+        phase_key = jax.random.fold_in(key, 1000 + idx)
+        params, logs = run_phase(params, target, lmbda, phase_key, cfg, phase)
+        if phase.quantize_model:
+            params, infos = quantize_model_with_info(params, target, lmbda, cfg)
+    if logs is None:
+        m = eval_metrics(params, cfg, target, lmbda)
+        logs = PhaseLogs(m.loss, m.psnr_db, m.rate_latent_bpp)
+    return EncodeResult(params, logs.loss, logs.psnr_db, logs.rate_latent_bpp), infos
+
+
 def encode_frame_batch(
     keys: jax.Array,
     targets: jax.Array,
