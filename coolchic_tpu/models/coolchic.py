@@ -76,6 +76,36 @@ def init_coolchic_params(
     }
 
 
+def coolchic_forward_latents(
+    net_params: Params,
+    latents: List[jax.Array],
+    cfg: CoolChicConfig,
+    key: Optional[jax.Array] = None,
+    quantizer_noise_type: str = "kumaraswamy",
+    quantizer_type: str = "softround",
+    soft_round_temperature: jax.Array | float = 0.3,
+    noise_parameter: jax.Array | float = 1.0,
+    ac_max_val: int = -1,
+    training: bool = True,
+) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
+    """Latent-free forward: latents passed as arguments instead of stored in
+    the param pytree (reference: enc/component/nlcoolchic.py:151-160). Used
+    by the hypernet/amortized path where latents come from an encoder net."""
+    params = dict(net_params)
+    params["latents"] = list(latents)
+    return coolchic_forward(
+        params,
+        cfg,
+        key=key,
+        quantizer_noise_type=quantizer_noise_type,
+        quantizer_type=quantizer_type,
+        soft_round_temperature=soft_round_temperature,
+        noise_parameter=noise_parameter,
+        ac_max_val=ac_max_val,
+        training=training,
+    )
+
+
 def coolchic_forward(
     params: Params,
     cfg: CoolChicConfig,

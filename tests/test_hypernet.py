@@ -1,0 +1,168 @@
+"""Amortized encoder (hypernet): shapes, delta semantics, training step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coolchic_tpu.hypernet import (
+    DeltaWholeNet,
+    NOWholeNet,
+    evaluate_wholenet,
+    train_wholenet,
+)
+from coolchic_tpu.hypernet.blocks import LatentHyperNet
+from coolchic_tpu.hypernet.heads import (
+    arm_param_count,
+    synthesis_param_count,
+    upsampling_param_count,
+)
+from coolchic_tpu.metalearning import synthetic_batches
+from coolchic_tpu.models import CoolChicConfig
+from coolchic_tpu.train.presets import TrainerPhase
+
+CFG = CoolChicConfig(
+    img_size=(32, 32),
+    n_ft_per_res=(1, 1, 1),
+    layers_synthesis=("8-1-linear-relu", "X-1-linear-none"),
+    dim_arm=8,
+    n_hidden_layers_arm=1,
+)
+HN_KW = dict(
+    synthesis_hidden_dim=32,
+    synthesis_n_layers=1,
+    arm_hidden_dim=32,
+    arm_n_layers=1,
+    ups_hidden_dim=16,
+    ups_n_layers=1,
+)
+
+
+def test_param_counts_match_reference_formulas():
+    # hop config: arm 544 params, synthesis 642 params
+    # (reference: hypernet.py:299 "For hop config, this will be 642
+    #  parameters", :341 "544 parameters").
+    hop = CoolChicConfig(
+        img_size=(256, 256),
+        layers_synthesis=(
+            "48-1-linear-relu",
+            "X-1-linear-none",
+            "X-3-residual-relu",
+            "X-3-residual-none",
+        ),
+        n_ft_per_res=(1, 1, 1, 1, 1, 1, 1),
+        dim_arm=16,
+        n_hidden_layers_arm=2,
+    )
+    assert arm_param_count(16, 2) == 2 * (16 * 16 + 16) + 16 * 2 + 2  # = 578
+    assert synthesis_param_count(hop) == (
+        (7 * 48 + 48) + (48 * 3 + 3) + (3 * 3 * 9 + 3) + (3 * 3 * 9 + 3)
+    )
+    assert upsampling_param_count(hop) == 6 * (4 + 1 + 4 + 1)
+
+
+def test_latent_hypernet_pyramid_shapes():
+    m = LatentHyperNet(n_latents=3, n_hidden_channels=8)
+    img = jnp.zeros((2, 32, 32, 3))
+    params = m.init(jax.random.PRNGKey(0), img)
+    outs = m.apply(params, img)
+    assert [o.shape for o in outs] == [
+        (2, 32, 32, 1),
+        (2, 16, 16, 1),
+        (2, 8, 8, 1),
+    ]
+
+
+def test_nowholenet_forward_shapes():
+    net = NOWholeNet(CFG, n_hidden_channels=8)
+    state = net.init(jax.random.PRNGKey(0))
+    imgs = jnp.asarray(next(synthetic_batches(2, CFG.img_size)))
+    out, rate = net.forward(state, imgs, key=jax.random.PRNGKey(1))
+    assert out.shape == (2, 3, 32, 32)
+    assert rate.shape == (2, CFG.n_latents)
+
+
+def test_deltawholenet_zero_deltas_at_init():
+    """Delta heads are zero-initialized: at init the Delta net must behave
+    exactly like the shared decoder alone (reference: hypernet.py:685-708)."""
+    net = DeltaWholeNet(CFG, **HN_KW)
+    state = net.init(jax.random.PRNGKey(0))
+    imgs = jnp.asarray(next(synthetic_batches(2, CFG.img_size)))
+    _, deltas = net.predict(state, imgs)
+    for leaf in jax.tree.leaves(deltas):
+        # tanh(0) = 0 -> all deltas exactly zero.
+        assert float(jnp.abs(leaf).max()) == 0.0
+
+
+def test_deltawholenet_forward_and_use_delta_flag():
+    net = DeltaWholeNet(CFG, **HN_KW)
+    state = net.init(jax.random.PRNGKey(0))
+    imgs = jnp.asarray(next(synthetic_batches(2, CFG.img_size)))
+    out, rate = net.forward(state, imgs, key=jax.random.PRNGKey(1))
+    assert out.shape == (2, 3, 32, 32) and rate.shape == (2, CFG.n_latents)
+    net.use_delta = False
+    out2, _ = net.forward(state, imgs, key=jax.random.PRNGKey(1))
+    # At init deltas are zero so both paths agree.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_image_to_coolchic_materializes_params():
+    net = NOWholeNet(CFG, n_hidden_channels=8)
+    state = net.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(next(synthetic_batches(1, CFG.img_size))[0])
+    params = net.image_to_coolchic(state, img)
+    assert set(params.keys()) == {"latents", "arm", "upsampling", "synthesis"}
+    assert [l.shape for l in params["latents"]] == list(CFG.latent_shapes)
+    # The materialized params run through the standard per-image forward.
+    from coolchic_tpu.models import frame_forward
+
+    decoded, rate, _ = frame_forward(params, CFG, training=False)
+    assert decoded.shape == (3, 32, 32)
+
+
+def test_train_wholenet_improves():
+    """A few hundred samples of training reduce the eval loss."""
+    net = NOWholeNet(CFG, n_hidden_channels=8)
+    state = net.init(jax.random.PRNGKey(0))
+    data = map(jnp.asarray, synthetic_batches(4, CFG.img_size, seed=1))
+    eval_imgs = jnp.asarray(next(synthetic_batches(4, CFG.img_size, seed=99)))
+    phase = TrainerPhase(
+        lr=1e-3,
+        max_itr=1,
+        schedule_lr=True,
+        quantizer_type="softround",
+        quantizer_noise_type="gaussian",
+        softround_temperature=(0.3, 0.3),
+        noise_parameter=(0.25, 0.25),
+    )
+    m0 = evaluate_wholenet(net, state, eval_imgs, 1e-3)
+    best, logs = train_wholenet(
+        net,
+        state,
+        data,
+        eval_imgs,
+        lmbda=1e-3,
+        phase=phase,
+        key=jax.random.PRNGKey(2),
+        n_samples=200,
+        batch_size=4,
+        freq_valid_samples=100,
+        verbose=False,
+    )
+    m1 = evaluate_wholenet(net, best, eval_imgs, 1e-3)
+    assert float(m1["loss"]) < float(m0["loss"])
+
+
+def test_delta_init_from_nowholenet():
+    no_net = NOWholeNet(CFG, n_hidden_channels=8)
+    no_state = no_net.init(jax.random.PRNGKey(0))
+    delta_net = DeltaWholeNet(CFG, n_hidden_channels=8, **HN_KW)
+    delta_state = delta_net.init(jax.random.PRNGKey(1))
+    merged = delta_net.load_from_no_coolchic(no_state, delta_state)
+    imgs = jnp.asarray(next(synthetic_batches(2, CFG.img_size)))
+    # Forward equivalence: deltas are zero, encoder+decoder copied
+    # (reference: hypernet.py:1386-1416 checks the same with atol 1e-4).
+    out_no, rate_no = no_net.forward(merged and no_state, imgs, training=False)
+    out_d, rate_d = delta_net.forward(merged, imgs, training=False)
+    np.testing.assert_allclose(np.asarray(out_no), np.asarray(out_d), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rate_no), np.asarray(rate_d), atol=1e-3)
