@@ -52,7 +52,27 @@ def decode_bitstream(data: bytes) -> Tuple[np.ndarray, Dict]:
         headers, params and decoded latents).
     """
     gop = read_gop_header(data)
+    img, info, _ = _decode_frame(data, gop.n_bytes_header, gop)
+    return img, info
+
+
+def decode_video_bitstream(data: bytes) -> Tuple[list, Dict]:
+    """Decode a multi-frame bitstream: GOP header followed by intra_period+1
+    frame payloads (reference: cpp/ccdecapi.cpp:673-700). Frames are stored
+    in coding order in the stream; the returned list is in display order."""
+    gop = read_gop_header(data)
+    n_frames = gop.intra_period + 1 if gop.intra_period > 0 else 1
     ptr = gop.n_bytes_header
+    by_display = {}
+    info = None
+    for _ in range(n_frames):
+        img, info, ptr = _decode_frame(data, ptr, gop)
+        by_display[info["frame_header"].display_index] = img
+    frames = [by_display[k] for k in sorted(by_display)]
+    return frames, {"gop_header": gop, "last_frame_info": info}
+
+
+def _decode_frame(data: bytes, ptr: int, gop: GopHeader) -> Tuple[np.ndarray, Dict, int]:
     fh = read_frame_header(data[ptr:])
     ptr += fh.n_bytes_header
     cfg = cfg_from_headers(gop, fh)
@@ -114,4 +134,4 @@ def decode_bitstream(data: bytes) -> Tuple[np.ndarray, Dict]:
         "params": params,
         "latents": latents,
     }
-    return np.asarray(img), info
+    return np.asarray(img), info, ptr

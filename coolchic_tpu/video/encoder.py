@@ -1,0 +1,231 @@
+"""Video encoder orchestration: per-frame overfitting in coding order.
+
+Re-design of the reference ``VideoEncoder`` god-object (reference:
+coolchic/enc/component/video.py:37-591) as a thin host-side loop over the
+jitted per-frame pipeline: frames are encoded in coding order with
+per-depth lambda scaling, state checkpoints after every frame enable
+time-sliced requeue (the reference's SLURM REQUEUE protocol,
+video.py:394-397, enc/utils/misc.py:43-64).
+
+The reference's inter-prediction module is bypassed in its own forward
+(frame.py:165-172), so frames are coded as independent Cool-chic images;
+the coding structure contributes reference bookkeeping and the lambda
+hierarchy. P/B warping utilities live in video/intercoding.py.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coolchic_tpu.bitstream.encode import encode_frame_bitstream
+from coolchic_tpu.bitstream.header import GopHeader, write_gop_header
+from coolchic_tpu.io import convert_420_to_444, load_frame_data_from_file
+from coolchic_tpu.models.config import CoolChicConfig
+from coolchic_tpu.train.encode import encode_frame_with_quant_info
+from coolchic_tpu.train.presets import Preset
+from coolchic_tpu.video.codingstructure import CodingStructure, lmbda_from_depth
+
+
+class TrainingExitCode(Enum):
+    """Process exit codes: 42 requeues a time-sliced cluster job
+    (reference: enc/utils/misc.py:43-64)."""
+
+    END = 0
+    REQUEUE = 42
+
+
+def is_job_over(start_time: float, max_duration_job_min: int = 45) -> bool:
+    if max_duration_job_min < 0:
+        return False
+    return (time.time() - start_time) / 60 >= max_duration_job_min
+
+
+@dataclass
+class FrameEncoderManager:
+    """Per-frame training bookkeeping (reference: enc/utils/manager.py)."""
+
+    lmbda: float
+    loop_counter: int = 0
+    best_loss: float = float("inf")
+    iterations_counter: int = 0
+    total_training_time_sec: float = 0.0
+
+
+@dataclass
+class EncodedFrame:
+    params: Dict[str, Any]
+    infos: Optional[Dict[str, Any]]
+    manager: FrameEncoderManager
+    psnr_db: float
+    rate_latent_bpp: float
+
+
+class VideoEncoder:
+    """Encode a GOP of frames, one overfitted Cool-chic decoder each."""
+
+    def __init__(
+        self,
+        coding_structure: CodingStructure,
+        cfg: CoolChicConfig,
+        preset: Preset,
+        lmbda: float = 1e-3,
+        n_loops: int = 1,
+    ):
+        self.coding_structure = coding_structure
+        self.cfg = cfg
+        self.preset = preset
+        self.lmbda = lmbda
+        self.n_loops = n_loops
+        self.all_frame_encoders: Dict[str, EncodedFrame] = {}
+        self.bitdepth = 8
+        self.frame_data_type = "rgb"
+
+    # ------------------------------------------------------------------ #
+    def _load_frame(self, input_path: str, display_order: int) -> jnp.ndarray:
+        fd = load_frame_data_from_file(input_path, display_order)
+        self.bitdepth = fd.bitdepth
+        self.frame_data_type = fd.frame_data_type
+        data = fd.data
+        if fd.frame_data_type == "yuv420":
+            data = convert_420_to_444(data)
+        return jnp.asarray(data)
+
+    def encode(
+        self,
+        input_path: str,
+        seed: int = 0,
+        job_duration_min: int = -1,
+        workdir: Optional[Path] = None,
+        verbose: bool = True,
+    ) -> TrainingExitCode:
+        """Encode every not-yet-encoded frame in coding order. Returns
+        REQUEUE when the time budget runs out mid-GOP (resume by calling
+        again after ``load``)."""
+        start_time = time.time()
+        n_frames = self.coding_structure.get_number_of_frames()
+
+        for idx_coding_order in range(n_frames):
+            if str(idx_coding_order) in self.all_frame_encoders:
+                continue  # already encoded (resumed job)
+
+            frame = self.coding_structure.get_frame_from_coding_order(idx_coding_order)
+            target = self._load_frame(input_path, frame.display_order)
+            lmbda = lmbda_from_depth(frame.depth, self.lmbda)
+            manager = FrameEncoderManager(lmbda=lmbda)
+
+            best = None
+            for loop in range(self.n_loops):
+                key = jax.random.PRNGKey(seed + 7919 * idx_coding_order + loop)
+                result, infos = encode_frame_with_quant_info(
+                    key, target, lmbda, self.cfg, self.preset
+                )
+                manager.loop_counter += 1
+                if best is None or float(result.loss) < manager.best_loss:
+                    manager.best_loss = float(result.loss)
+                    best = (result, infos)
+            result, infos = best
+            manager.total_training_time_sec += time.time() - start_time
+
+            self.all_frame_encoders[str(idx_coding_order)] = EncodedFrame(
+                params=jax.tree.map(np.asarray, result.params),
+                infos=jax.tree.map(np.asarray, infos) if infos is not None else None,
+                manager=manager,
+                psnr_db=float(result.psnr_db),
+                rate_latent_bpp=float(result.rate_latent_bpp),
+            )
+            if verbose:
+                print(
+                    f"frame {frame.display_order:>3} ({frame.frame_type}, depth "
+                    f"{frame.depth}): psnr {float(result.psnr_db):6.2f} dB, "
+                    f"{float(result.rate_latent_bpp):.4f} bpp, lmbda {lmbda:.2e}"
+                )
+
+            if workdir is not None:
+                self.save(Path(workdir) / "video_encoder.pkl")
+            if is_job_over(start_time, job_duration_min):
+                return TrainingExitCode.REQUEUE
+
+        return TrainingExitCode.END
+
+    # ------------------------------------------------------------------ #
+    def to_bitstream(self, hls_sig_blksize: int = 16) -> bytes:
+        """GOP header + every frame's bitstream, in coding order
+        (reference: enc/bitstream/encode.py:166-218)."""
+        out = write_gop_header(
+            GopHeader(
+                img_size=self.cfg.img_size,
+                frame_data_type=self.frame_data_type,
+                bitdepth=self.bitdepth,
+                intra_period=self.coding_structure.intra_period,
+                p_period=self.coding_structure.p_period,
+            )
+        )
+        for idx in range(self.coding_structure.get_number_of_frames()):
+            enc = self.all_frame_encoders[str(idx)]
+            assert enc.infos is not None, (
+                f"frame {idx} was trained without NN quantization; cannot "
+                "write a bitstream (use a preset with quantize_model)."
+            )
+            frame = self.coding_structure.get_frame_from_coding_order(idx)
+            nn_q_step = {
+                m: {"weight": float(i.q_step_w), "bias": float(i.q_step_b)}
+                for m, i in enc.infos.items()
+            }
+            nn_expgol = {
+                m: {"weight": int(i.expgol_w), "bias": int(i.expgol_b)}
+                for m, i in enc.infos.items()
+            }
+            frame_bytes, _, _ = encode_frame_bitstream(
+                jax.tree.map(jnp.asarray, enc.params),
+                self.cfg,
+                nn_q_step,
+                nn_expgol,
+                display_index=frame.display_order,
+                hls_sig_blksize=hls_sig_blksize,
+            )
+            out += frame_bytes
+        return out
+
+    # ------------------------------------------------------------------ #
+    def save(self, path: Path) -> None:
+        """Whole-state checkpoint (reference: video.py:526-558)."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        state = {
+            "coding_structure": self.coding_structure,
+            "cfg": self.cfg,
+            "preset": self.preset,
+            "lmbda": self.lmbda,
+            "n_loops": self.n_loops,
+            "bitdepth": self.bitdepth,
+            "frame_data_type": self.frame_data_type,
+            "all_frame_encoders": self.all_frame_encoders,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+
+def load_video_encoder(path: Path) -> VideoEncoder:
+    """(reference: video.py:561-591)."""
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    enc = VideoEncoder(
+        coding_structure=state["coding_structure"],
+        cfg=state["cfg"],
+        preset=state["preset"],
+        lmbda=state["lmbda"],
+        n_loops=state["n_loops"],
+    )
+    enc.bitdepth = state["bitdepth"]
+    enc.frame_data_type = state["frame_data_type"]
+    enc.all_frame_encoders = state["all_frame_encoders"]
+    return enc
