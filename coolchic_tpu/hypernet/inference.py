@@ -1,0 +1,140 @@
+"""Hypernet checkpoint I/O and per-image evaluation / delta-subset search.
+
+Reference: coolchic/hypernet/inference.py — checkpoint loading (:30-61),
+per-image eval with the best subset of (arm, synthesis, upsampling) deltas
+picked by RD cost (:98-177), and dataset sweeps written to CSV (:230-268).
+"""
+
+from __future__ import annotations
+
+import itertools
+import pickle
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coolchic_tpu.hypernet.wholenet import DeltaWholeNet, NOWholeNet, WholeNetState
+from coolchic_tpu.models.config import CoolChicConfig
+from coolchic_tpu.train.loss import loss_function
+
+
+def save_checkpoint(state: WholeNetState, path: Path, samples_seen: int = 0) -> None:
+    """samples_{N}.pkl convention (reference: hypernet/training.py:371-373)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "hypernet": jax.tree.map(np.asarray, state.hypernet),
+                "decoder": jax.tree.map(np.asarray, state.decoder),
+                "samples_seen": samples_seen,
+            },
+            f,
+        )
+
+
+def load_checkpoint(path: Path) -> WholeNetState:
+    """Load a checkpoint; ``path`` may be a directory with the ``__latest``
+    convention — the highest samples_N.pkl wins
+    (reference: delta_hypernet_train.py:58-72, utils/paths.py:38-41)."""
+    path = Path(path)
+    if path.is_dir():
+        candidates = sorted(
+            path.glob("samples_*.pkl"),
+            key=lambda p: int(p.stem.split("_")[1]),
+        )
+        assert candidates, f"No samples_*.pkl checkpoint in {path}"
+        path = candidates[-1]
+    with open(path, "rb") as f:
+        raw = pickle.load(f)
+    return WholeNetState(hypernet=raw["hypernet"], decoder=raw["decoder"])
+
+
+def eval_image_delta_subsets(
+    net: DeltaWholeNet,
+    state: WholeNetState,
+    img: jax.Array,  # [3, H, W]
+    lmbda: float,
+) -> Dict:
+    """Try all 8 on/off combinations of the (arm, synthesis, upsampling)
+    deltas and keep the best RD cost (reference: inference.py:98-177)."""
+    latents, deltas = net.predict(state, img[None])
+    cfg: CoolChicConfig = net.cfg
+
+    best = None
+    from coolchic_tpu.models.coolchic import coolchic_forward_latents
+
+    for use_arm, use_syn, use_ups in itertools.product([False, True], repeat=3):
+        scale = {
+            "arm": 1.0 if use_arm else 0.0,
+            "synthesis": 1.0 if use_syn else 0.0,
+            "upsampling": 1.0 if use_ups else 0.0,
+        }
+        nets = {
+            m: jax.tree.map(
+                lambda base, d: base + scale[m] * d[0], state.decoder[m], deltas[m]
+            )
+            for m in ("arm", "synthesis", "upsampling")
+        }
+        decoded, rate, _ = coolchic_forward_latents(
+            nets, [l[0] for l in latents], cfg, training=False
+        )
+        out = loss_function(decoded, rate, img, lmbda)
+        row = {
+            "loss": float(out.loss),
+            "psnr_db": float(out.psnr_db),
+            "rate_latent_bpp": float(out.rate_latent_bpp),
+            "option_selected": f"arm={int(use_arm)},syn={int(use_syn)},ups={int(use_ups)}",
+        }
+        if best is None or row["loss"] < best["loss"]:
+            best = row
+    return best
+
+
+def eval_dataset(
+    net,
+    state: WholeNetState,
+    images: Iterable,  # iterable of (name, [3, H, W] array)
+    lmbda: float,
+    csv_path: Optional[Path] = None,
+    delta_subset_search: bool = False,
+) -> List[Dict]:
+    """Per-image sweep -> rows (and optional CSV with the reference's
+    ablation schema, reference: inference.py:230-268)."""
+    rows = []
+    for name, img in images:
+        img = jnp.asarray(img)
+        if delta_subset_search and isinstance(net, DeltaWholeNet):
+            row = eval_image_delta_subsets(net, state, img, lmbda)
+        else:
+            decoded, rate = net.forward(state, img[None], training=False)
+            out = loss_function(decoded[0], rate[0], img, lmbda)
+            row = {
+                "loss": float(out.loss),
+                "psnr_db": float(out.psnr_db),
+                "rate_latent_bpp": float(out.rate_latent_bpp),
+                "option_selected": "none",
+            }
+        mse = 10 ** (-row["psnr_db"] / 10)
+        rows.append(
+            {
+                "seq_name": name,
+                "rate_bpp": row["rate_latent_bpp"],
+                "rate_latent_bpp": row["rate_latent_bpp"],
+                "rate_nn_bpp": 0.0,
+                "psnr_db": row["psnr_db"],
+                "mse": mse,
+                "option_selected": row["option_selected"],
+            }
+        )
+    if csv_path is not None:
+        import csv
+
+        with open(csv_path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
+    return rows
