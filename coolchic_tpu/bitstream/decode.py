@@ -44,15 +44,22 @@ def cfg_from_headers(gop: GopHeader, fh: FrameHeader) -> CoolChicConfig:
     )
 
 
-def decode_bitstream(data: bytes) -> Tuple[np.ndarray, Dict]:
+def decode_bitstream(data: bytes, integer_pipeline: bool = False) -> Tuple[np.ndarray, Dict]:
     """Decode a single-image bitstream.
+
+    Args:
+        integer_pipeline: True runs the fixed-point int32 upsampling +
+            synthesis (C++ backend, platform-deterministic like the
+            reference decoder); False runs the float reference math.
 
     Returns:
         (decoded image [C, H, W] float in [0, 1], info dict with the parsed
         headers, params and decoded latents).
     """
     gop = read_gop_header(data)
-    img, info, _ = _decode_frame(data, gop.n_bytes_header, gop)
+    img, info, _ = _decode_frame(
+        data, gop.n_bytes_header, gop, integer_pipeline=integer_pipeline
+    )
     return img, info
 
 
@@ -72,7 +79,9 @@ def decode_video_bitstream(data: bytes) -> Tuple[list, Dict]:
     return frames, {"gop_header": gop, "last_frame_info": info}
 
 
-def _decode_frame(data: bytes, ptr: int, gop: GopHeader) -> Tuple[np.ndarray, Dict, int]:
+def _decode_frame(
+    data: bytes, ptr: int, gop: GopHeader, integer_pipeline: bool = False
+) -> Tuple[np.ndarray, Dict, int]:
     fh = read_frame_header(data[ptr:])
     ptr += fh.n_bytes_header
     cfg = cfg_from_headers(gop, fh)
@@ -112,20 +121,27 @@ def _decode_frame(data: bytes, ptr: int, gop: GopHeader) -> Tuple[np.ndarray, Di
             grid_idx += 1
         latents.append(np.stack(planes, 0))
 
-    # ----- Upsample + synthesize (float path, see module docstring).
-    import jax
-    import jax.numpy as jnp
+    # ----- Upsample + synthesize.
+    if integer_pipeline:
+        raw = _ups_syn_integer(params, latents, cfg)
+        max_dyn = 2.0**gop.bitdepth - 1.0
+        img = np.clip(np.round(raw * max_dyn) / max_dyn, 0.0, 1.0)
+    else:
+        import jax
+        import jax.numpy as jnp
 
-    from coolchic_tpu.models.synthesis import synthesis_apply
-    from coolchic_tpu.models.upsampling import upsampling_apply
+        from coolchic_tpu.models.synthesis import synthesis_apply
+        from coolchic_tpu.models.upsampling import upsampling_apply
 
-    jparams_syn = jax.tree.map(jnp.asarray, params["synthesis"])
-    jparams_ups = jax.tree.map(jnp.asarray, params["upsampling"])
-    y = [jnp.asarray(l, jnp.float32) for l in latents]
-    dense = upsampling_apply(jparams_ups, y, cfg.ups_k_size, cfg.ups_preconcat_k_size)
-    raw = synthesis_apply(jparams_syn, dense, cfg.parsed_synthesis_layers())
-    max_dyn = 2.0**gop.bitdepth - 1.0
-    img = jnp.clip(jnp.round(raw * max_dyn) / max_dyn, 0.0, 1.0)
+        jparams_syn = jax.tree.map(jnp.asarray, params["synthesis"])
+        jparams_ups = jax.tree.map(jnp.asarray, params["upsampling"])
+        y = [jnp.asarray(l, jnp.float32) for l in latents]
+        dense = upsampling_apply(
+            jparams_ups, y, cfg.ups_k_size, cfg.ups_preconcat_k_size
+        )
+        raw = synthesis_apply(jparams_syn, dense, cfg.parsed_synthesis_layers())
+        max_dyn = 2.0**gop.bitdepth - 1.0
+        img = jnp.clip(jnp.round(raw * max_dyn) / max_dyn, 0.0, 1.0)
 
     info = {
         "gop_header": gop,
@@ -135,3 +151,62 @@ def _decode_frame(data: bytes, ptr: int, gop: GopHeader) -> Tuple[np.ndarray, Di
         "latents": latents,
     }
     return np.asarray(img), info, ptr
+
+
+def _ups_syn_integer(params, latents, cfg: CoolChicConfig) -> np.ndarray:
+    """Fixed-point reconstruction via the C++ backend. Integer weights are
+    recovered exactly from the dequantized floats (power-of-two q-steps):
+    12-frac-bit kernels/weights, 24-frac-bit synthesis biases
+    (reference: cpp/cc-frame-decoder.cpp decode_weights_qi)."""
+    from coolchic_tpu.bitstream.entropy import ups_syn_int
+    from coolchic_tpu.models.upsampling import symmetric_kernel_1d
+
+    heights = [s[1] for s in cfg.latent_shapes]
+    widths = [s[2] for s in cfg.latent_shapes]
+
+    def full_kernel_int(half, k):
+        import jax.numpy as jnp
+
+        full = np.asarray(symmetric_kernel_1d(jnp.asarray(half), k))
+        return np.round(full * 4096.0).astype(np.int64)
+
+    ups_k = np.concatenate(
+        [full_kernel_int(h, cfg.ups_k_size) for h in params["upsampling"]["ups"]]
+    )
+    pre_k = np.concatenate(
+        [
+            full_kernel_int(h, cfg.ups_preconcat_k_size)
+            for h in params["upsampling"]["preconcat"]
+        ]
+    )
+    syn_w = np.concatenate(
+        [
+            np.round(np.asarray(l["weight"], np.float64).reshape(-1) * 4096.0)
+            for l in params["synthesis"]["layers"]
+        ]
+    ).astype(np.int64)
+    syn_b = np.concatenate(
+        [
+            np.round(np.asarray(l["bias"], np.float64) * float(2**24))
+            for l in params["synthesis"]["layers"]
+        ]
+    ).astype(np.int64)
+    desc = np.array(
+        [
+            [out_ft, k, int(res), int(relu)]
+            for out_ft, k, res, relu in cfg.parsed_synthesis_layers()
+        ]
+    )
+    out_int = ups_syn_int(
+        [l.reshape(-1) for l in latents],
+        heights,
+        widths,
+        cfg.ups_k_size,
+        cfg.ups_preconcat_k_size,
+        ups_k,
+        pre_k,
+        syn_w,
+        syn_b,
+        desc,
+    )
+    return out_int.astype(np.float64) / 4096.0

@@ -18,7 +18,7 @@ _CPP_DIR = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "cpp")
 )
 _LIB_PATH = os.path.join(_CPP_DIR, "libccz.so")
-_SOURCES = ["entropy_api.cpp", "arm_decode.cpp"]
+_SOURCES = ["entropy_api.cpp", "arm_decode.cpp", "ups_syn_int.cpp"]
 _HEADERS = ["cabac.hpp", "gen_contexts.inc"]
 
 _lib: Optional[ctypes.CDLL] = None
@@ -99,6 +99,14 @@ def _load() -> ctypes.CDLL:
         i32p,
     ]
     lib.ccz_wb_decoder_free.argtypes = [ctypes.c_void_p]
+    lib.ccz_ups_syn_int.argtypes = [
+        i32p, i32p, i32p,  # latents, heights, widths
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n_res, ups_k, pre_k
+        i32p, i32p,  # ups kernels, preconcat kernels
+        i32p, i32p, i32p,  # syn weights, biases, desc
+        ctypes.c_int,  # n_syn_layers
+        i32p,  # out
+    ]
     lib.ccz_decode_arm_latent_layer.argtypes = [
         u8p, ctypes.c_int,  # data
         i32p, i32p,  # weights, biases
@@ -211,6 +219,38 @@ def decode_arm_latent_layer(
         _i32p(dy), _i32p(dx), h, w, blk, _i32p(out),
     )
     return out.reshape(h, w)
+
+
+def ups_syn_int(
+    latents,  # list of [1, h_i, w_i] int arrays, full-res first
+    heights,
+    widths,
+    ups_k_size: int,
+    pre_k_size: int,
+    ups_kernels_int: np.ndarray,  # [(n_res-1) * ups_k_size] 12-frac ints
+    pre_kernels_int: np.ndarray,  # [(n_res-1) * pre_k_size]
+    syn_w_int: np.ndarray,  # concatenated 12-frac ints (OIHW)
+    syn_b_int: np.ndarray,  # concatenated 24-frac ints
+    syn_desc: np.ndarray,  # [n_layers, 4] = out_ft, ks, residual, relu
+) -> np.ndarray:
+    """Fixed-point integer upsample + synthesize (cpp/ups_syn_int.cpp).
+    Returns [out_ft, H, W] int32 at 12 fractional bits."""
+    lib = _load()
+    n_res = len(heights)
+    lat = _as_i32(np.concatenate([np.asarray(l).reshape(-1) for l in latents]))
+    hh, ww = _as_i32(heights), _as_i32(widths)
+    uk, pk = _as_i32(ups_kernels_int), _as_i32(pre_kernels_int)
+    sw, sb = _as_i32(syn_w_int), _as_i32(syn_b_int)
+    desc = _as_i32(np.asarray(syn_desc).reshape(-1))
+    n_layers = len(desc) // 4
+    out_ft = int(desc[-4])
+    out = np.empty(out_ft * heights[0] * widths[0], np.int32)
+    lib.ccz_ups_syn_int(
+        _i32p(lat), _i32p(hh), _i32p(ww), n_res, ups_k_size, pre_k_size,
+        _i32p(uk), _i32p(pk), _i32p(sw), _i32p(sb), _i32p(desc), n_layers,
+        _i32p(out),
+    )
+    return out.reshape(out_ft, heights[0], widths[0])
 
 
 def decode_latent_layer(data: bytes, mus, log_scales, h: int, w: int, blk: int = 16) -> np.ndarray:

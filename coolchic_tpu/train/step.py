@@ -112,13 +112,18 @@ def make_optimizer():
     )
 
 
-def make_train_step(cfg: CoolChicConfig, phase: TrainerPhase):
+def make_train_step(cfg: CoolChicConfig, phase: TrainerPhase, remat: bool = True):
     """Build (tx, step_fn) for one phase. ``step_fn`` performs a single
-    gradient step and is the unit the multi-chip path shards over images."""
+    gradient step and is the unit the multi-chip path shards over images.
+
+    ``remat=True`` rematerializes the forward in the backward pass: the
+    dominant residual is the [n_latents, dim_arm] ARM context (24x the
+    latent volume), and recomputing it trades ~1 extra forward for the HBM
+    that lets 2-4x more images overfit per chip."""
     tx = make_optimizer()
 
-    def loss_fn(p, target, lmbda, step_key, temp, noise):
-        decoded, rate, _ = frame_forward(
+    def _forward(p, step_key, temp, noise):
+        return frame_forward(
             p,
             cfg,
             key=step_key,
@@ -128,6 +133,11 @@ def make_train_step(cfg: CoolChicConfig, phase: TrainerPhase):
             noise_parameter=noise,
             training=True,
         )
+
+    fwd = jax.checkpoint(_forward) if remat else _forward
+
+    def loss_fn(p, target, lmbda, step_key, temp, noise):
+        decoded, rate, _ = fwd(p, step_key, temp, noise)
         return loss_function(decoded, rate, target, lmbda).loss
 
     def step_fn(params, opt_state, target, lmbda, step_key, lr, temp, noise, mask):

@@ -1,0 +1,248 @@
+// Fixed-point (int32) upsampling + synthesis: the deterministic decode path.
+//
+// Integer twins of the float reference math, matching the reference
+// decoder's fixed-point semantics (reference: coolchic/cpp/
+// ups_refine_cpu.hpp, ups_upsample_cpu.hpp, syn_cpu.hpp,
+// cc-frame-decoder.cpp run_ups/run_syn):
+//   * latents arrive at ARM_PRECISION (8 frac bits),
+//   * upsampling kernels and synthesis weights at 12 frac bits, synthesis
+//     biases at 24,
+//   * every renormalization shifts toward zero, no rounding offset,
+//   * refine = odd symmetric conv (zero padding) + residual,
+//   * upsample = even symmetric x2 transposed conv expressed as its two
+//     polyphase filters (replicate padding),
+//   * synthesis convs use replicate padding; ReLU clamps pre-shift.
+//
+// Each latent layer is refined once then upsampled to full resolution
+// independently (channelwise, this equals the encoder's cascade since the
+// upsampling never mixes channels).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int ARM_PRECISION = 8;
+constexpr int UPS_PRECISION = 12;
+constexpr int SYN_MUL_PRECISION = 12;
+
+inline int32_t shr_to_zero(int64_t v, int n) {
+  return v < 0 ? -static_cast<int32_t>((-v) >> n) : static_cast<int32_t>(v >> n);
+}
+
+// Simple plane with copy-based padding.
+struct Plane {
+  int h = 0, w = 0;
+  std::vector<int32_t> data;
+  void resize(int hh, int ww) {
+    h = hh;
+    w = ww;
+    data.assign(static_cast<size_t>(hh) * ww, 0);
+  }
+  int32_t& at(int y, int x) { return data[static_cast<size_t>(y) * w + x]; }
+  int32_t at(int y, int x) const { return data[static_cast<size_t>(y) * w + x]; }
+};
+
+Plane pad_plane(const Plane& p, int pad, bool replicate) {
+  Plane out;
+  out.resize(p.h + 2 * pad, p.w + 2 * pad);
+  for (int y = 0; y < out.h; y++) {
+    int sy = y - pad;
+    if (replicate) sy = sy < 0 ? 0 : (sy >= p.h ? p.h - 1 : sy);
+    for (int x = 0; x < out.w; x++) {
+      int sx = x - pad;
+      if (replicate) sx = sx < 0 ? 0 : (sx >= p.w ? p.w - 1 : sx);
+      if (sy < 0 || sy >= p.h || sx < 0 || sx >= p.w)
+        out.at(y, x) = 0;
+      else
+        out.at(y, x) = p.at(sy, sx);
+    }
+  }
+  return out;
+}
+
+// Odd symmetric separable conv + residual (reference: ups_refine_cpu.hpp).
+// src at src_prec frac bits; output at UPS_PRECISION.
+Plane ups_refine(const Plane& in, const int32_t* kw, int ks, int src_prec) {
+  int pad = ks / 2;
+  Plane tmp;
+  tmp.resize(in.h, in.w);
+  {
+    Plane p = pad_plane(in, pad, /*replicate=*/false);  // zero LR pad
+    for (int y = 0; y < in.h; y++)
+      for (int x = 0; x < in.w; x++) {
+        int64_t sum = 0;
+        for (int k = 0; k < ks; k++) sum += (int64_t)p.at(y + pad, x + k) * kw[k];
+        tmp.at(y, x) = shr_to_zero(sum, src_prec);
+      }
+  }
+  Plane out;
+  out.resize(in.h, in.w);
+  int residue_shift = UPS_PRECISION - src_prec;
+  Plane p = pad_plane(tmp, pad, /*replicate=*/false);  // zero TB pad
+  for (int y = 0; y < in.h; y++)
+    for (int x = 0; x < in.w; x++) {
+      int64_t sum = 0;
+      for (int k = 0; k < ks; k++) sum += (int64_t)p.at(y + k, x + pad) * kw[k];
+      sum += ((int64_t)in.at(y, x) << residue_shift) << UPS_PRECISION;
+      out.at(y, x) = shr_to_zero(sum, UPS_PRECISION);
+    }
+  return out;
+}
+
+// Even symmetric x2 transposed conv as two polyphase filters
+// (reference: ups_upsample_cpu.hpp). Output is exactly (2h, 2w), cropped to
+// (out_h, out_w).
+Plane ups_upsample(const Plane& in, const int32_t* kw_full, int ksx2,
+                   int src_prec, int out_h, int out_w) {
+  int ks = ksx2 / 2;  // per-phase taps
+  int pad = ks / 2;
+  std::vector<int32_t> kw_even(ks), kw_odd(ks);
+  for (int i = 0; i < ks; i++) {
+    kw_even[i] = kw_full[2 * i];
+    kw_odd[i] = kw_full[2 * i + 1];
+  }
+  Plane tmp;
+  tmp.resize(in.h, 2 * in.w);
+  {
+    Plane p = pad_plane(in, pad, /*replicate=*/true);
+    for (int y = 0; y < in.h; y++)
+      for (int x = 0; x < in.w; x++) {
+        int64_t se = 0, so = 0;
+        for (int k = 0; k < ks; k++) {
+          se += (int64_t)p.at(y + pad, x + k) * kw_even[k];
+          so += (int64_t)p.at(y + pad, x + k + 1) * kw_odd[k];
+        }
+        tmp.at(y, 2 * x) = shr_to_zero(se, src_prec);
+        tmp.at(y, 2 * x + 1) = shr_to_zero(so, src_prec);
+      }
+  }
+  Plane out;
+  out.resize(out_h, out_w);
+  Plane p = pad_plane(tmp, pad, /*replicate=*/true);
+  // padded tmp has horizontal pad too; index columns at +pad.
+  for (int y = 0; y < in.h; y++)
+    for (int x = 0; x < out_w; x++) {
+      int64_t se = 0, so = 0;
+      for (int k = 0; k < ks; k++) {
+        se += (int64_t)p.at(y + k, x + pad) * kw_even[k];
+        so += (int64_t)p.at(y + k + 1, x + pad) * kw_odd[k];
+      }
+      if (2 * y < out_h) out.at(2 * y, x) = shr_to_zero(se, UPS_PRECISION);
+      if (2 * y + 1 < out_h) out.at(2 * y + 1, x) = shr_to_zero(so, UPS_PRECISION);
+    }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Integer upsample + synthesize one frame.
+//
+//   latents       : concatenated int32 latent grids (1 feature per
+//                   resolution), full-res grid first; PLAIN integer values
+//                   (the function applies the ARM fixed-point shift).
+//   heights/widths: per-resolution dims, [n_res].
+//   ups_kernels   : n_res-1 full (mirrored) x2 kernels at 12 frac bits,
+//                   concatenated, each ups_k_size ints.
+//   pre_kernels   : n_res-1 full pre-concat kernels, each pre_k_size ints.
+//   syn_w / syn_b : concatenated synthesis weights (12 frac) / biases (24
+//                   frac), layer order, OIHW row-major.
+//   syn_desc      : per layer [out_ft, ks, residual, relu], 4 ints each.
+//   out           : [out_ft_last * H * W] int32 at 12 frac bits.
+void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
+                     const int32_t* widths, int n_res, int ups_k_size,
+                     int pre_k_size, const int32_t* ups_kernels,
+                     const int32_t* pre_kernels, const int32_t* syn_w,
+                     const int32_t* syn_b, const int32_t* syn_desc,
+                     int n_syn_layers, int32_t* out) {
+  int H = heights[0], W = widths[0];
+
+  // ---- Upsampling: each layer independently to full resolution.
+  std::vector<Plane> dense(n_res);
+  const int32_t* lat_ptr = latents;
+  for (int layer = 0; layer < n_res; layer++) {
+    int h = heights[layer], w = widths[layer];
+    Plane p;
+    p.resize(h, w);
+    for (int i = 0; i < h * w; i++)
+      p.data[i] = lat_ptr[i] << ARM_PRECISION;  // to ARM fixed point
+    lat_ptr += h * w;
+
+    int src_prec = ARM_PRECISION;
+    if (layer == 0) {
+      const int32_t* kw = pre_kernels + (n_res - 2 - 0) % (n_res - 1) * pre_k_size;
+      dense[0] = ups_refine(p, kw, pre_k_size, ARM_PRECISION);
+      continue;
+    }
+    Plane cur = p;
+    if (layer != n_res - 1) {
+      const int32_t* kw =
+          pre_kernels + ((n_res - 2 - layer) % (n_res - 1)) * pre_k_size;
+      cur = ups_refine(cur, kw, pre_k_size, ARM_PRECISION);
+      src_prec = UPS_PRECISION;
+    }
+    for (int target = layer - 1; target >= 0; target--) {
+      const int32_t* kw =
+          ups_kernels + ((n_res - 2 - target) % (n_res - 1)) * ups_k_size;
+      cur = ups_upsample(cur, kw, ups_k_size, src_prec, heights[target],
+                         widths[target]);
+      src_prec = UPS_PRECISION;
+    }
+    dense[layer] = std::move(cur);
+  }
+
+  // ---- Synthesis: conv stack over the dense planes
+  // (reference: syn_cpu.hpp, run_syn).
+  std::vector<Plane> planes = std::move(dense);
+  const int32_t* wp = syn_w;
+  const int32_t* bp = syn_b;
+  int n_in = n_res;
+  for (int l = 0; l < n_syn_layers; l++) {
+    int out_ft = syn_desc[4 * l + 0];
+    int ks = syn_desc[4 * l + 1];
+    bool residual = syn_desc[4 * l + 2] != 0;
+    bool relu = syn_desc[4 * l + 3] != 0;
+    int pad = (ks - 1) / 2;
+
+    std::vector<Plane> padded(n_in);
+    for (int i = 0; i < n_in; i++)
+      padded[i] = pad > 0 ? pad_plane(planes[i], pad, /*replicate=*/true)
+                          : planes[i];
+
+    std::vector<Plane> next(out_ft);
+    for (int o = 0; o < out_ft; o++) next[o].resize(H, W);
+
+    for (int y = 0; y < H; y++)
+      for (int x = 0; x < W; x++) {
+        for (int o = 0; o < out_ft; o++) {
+          int64_t sum = bp[o];
+          const int32_t* k = wp + o * n_in * ks * ks;
+          if (residual)
+            sum += (int64_t)planes[o].at(y, x) << SYN_MUL_PRECISION;
+          for (int i = 0; i < n_in; i++)
+            for (int yy = 0; yy < ks; yy++)
+              for (int xx = 0; xx < ks; xx++)
+                sum += (int64_t)padded[i].at(y + yy, x + xx) * (*k++);
+          int32_t v;
+          if (sum < 0)
+            v = relu ? 0 : shr_to_zero(sum, SYN_MUL_PRECISION);
+          else
+            v = static_cast<int32_t>(sum >> SYN_MUL_PRECISION);
+          next[o].at(y, x) = v;
+        }
+      }
+    wp += (int64_t)out_ft * n_in * ks * ks;
+    bp += out_ft;
+    planes = std::move(next);
+    n_in = out_ft;
+  }
+
+  for (int o = 0; o < n_in; o++)
+    std::memcpy(out + (size_t)o * H * W, planes[o].data.data(),
+                (size_t)H * W * sizeof(int32_t));
+}
+
+}  // extern "C"
