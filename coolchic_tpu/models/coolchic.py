@@ -221,6 +221,30 @@ def frame_forward(
 # (reference: coolchic.py:611-650, 716-728). Counted analytically on the
 # *eval* path: separable 1-D upsampling passes, as the C++ decoder runs them.
 # --------------------------------------------------------------------------- #
+def xla_cost_analysis(cfg: CoolChicConfig) -> Dict[str, float]:
+    """Compiler-measured decode cost: XLA's own flop/byte counts for the
+    eval forward (the TPU-native replacement for the reference's fvcore
+    accounting, reference: coolchic.py:611-650). Returns flops (2 flops =
+    1 MAC), flops/pixel, and HBM bytes accessed."""
+    import jax
+
+    params = init_coolchic_params(jax.random.PRNGKey(0), cfg)
+
+    def fwd(p):
+        return coolchic_forward(p, cfg, training=False)[0]
+
+    compiled = jax.jit(fwd).lower(params).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns a per-computation list
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    return {
+        "flops": flops,
+        "flops_per_pixel": flops / cfg.n_pixels,
+        "bytes_accessed": float(cost.get("bytes accessed", 0.0)),
+    }
+
+
 def macs_per_pixel(cfg: CoolChicConfig) -> Dict[str, float]:
     """Analytic multiply-accumulate count per decoded pixel."""
     h, w = cfg.img_size
