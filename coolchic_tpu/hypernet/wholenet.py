@@ -123,12 +123,24 @@ class NOWholeNet:
 
 class DeltaWholeNet:
     """Hypernet predicting latents + weight deltas to a shared decoder
-    (reference: hypernet.py:1238-1357)."""
+    (reference: hypernet.py:1238-1357).
 
-    def __init__(self, cfg: CoolChicConfig, backbone_arch: str = "resnet18", **hn_kwargs):
+    ``mode="full"`` turns this into the reference's CoolchicWholeNet
+    (hypernet.py:880-963): the heads predict the decoder weights outright
+    (no zero output initialization, no shared base added)."""
+
+    def __init__(
+        self,
+        cfg: CoolChicConfig,
+        backbone_arch: str = "resnet18",
+        mode: str = "delta",
+        **hn_kwargs,
+    ):
+        assert mode in ("delta", "full")
         self.cfg = cfg
+        self.mode = mode
         self.module = CoolchicHyperNet(
-            cfg=cfg, backbone_arch=backbone_arch, deltas=True, **hn_kwargs
+            cfg=cfg, backbone_arch=backbone_arch, deltas=(mode == "delta"), **hn_kwargs
         )
         self.use_delta = True
 
@@ -175,8 +187,14 @@ class DeltaWholeNet:
         if not self.use_delta:
             deltas = jax.tree.map(lambda d: d * 0.0, deltas)
 
+        full = self.mode == "full"
+
         def one(lats, delta, k):
-            nets = jax.tree.map(lambda base, d: base + d, state.decoder, delta)
+            if full:
+                # Predicted weights ARE the decoder (CoolchicWholeNet).
+                nets = delta
+            else:
+                nets = jax.tree.map(lambda base, d: base + d, state.decoder, delta)
             out, rate, _ = coolchic_forward_latents(
                 nets,
                 lats,
@@ -198,8 +216,12 @@ class DeltaWholeNet:
         for finetuning / bitstream writing (reference: hypernet.py:1290-1330)."""
         latents, deltas = self.predict(state, img_nchw[None])
         delta0 = jax.tree.map(lambda d: d[0], deltas)
-        params = jax.tree.map(lambda base, d: base + d, state.decoder, delta0)
-        params = dict(params)
+        if self.mode == "full":
+            params = dict(delta0)
+        else:
+            params = dict(
+                jax.tree.map(lambda base, d: base + d, state.decoder, delta0)
+            )
         params["latents"] = [
             jax.lax.stop_gradient(l[0, 0][None] / self.cfg.encoder_gain)
             for l in latents

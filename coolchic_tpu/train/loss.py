@@ -23,6 +23,17 @@ class LossOutput(NamedTuple):
     total_rate_bpp: jax.Array  # scalar
 
 
+def yuv420_mse(decoded_444: jax.Array, target_444: jax.Array) -> jax.Array:
+    """Pixel-weighted YUV420 MSE computed on 444 tensors: the chroma planes
+    carry 1/4 of the luma's pixels, so MSE = (4*MSE_y + MSE_u + MSE_v) / 6
+    (reference: loss.py:53-87). Chroma is compared on the 2x2-subsampled
+    grid (nearest), matching the 444->420 conversion of the output."""
+    mse_y = jnp.mean((decoded_444[0] - target_444[0]) ** 2)
+    mse_u = jnp.mean((decoded_444[1, ::2, ::2] - target_444[1, ::2, ::2]) ** 2)
+    mse_v = jnp.mean((decoded_444[2, ::2, ::2] - target_444[2, ::2, ::2]) ** 2)
+    return (4.0 * mse_y + mse_u + mse_v) / 6.0
+
+
 def loss_function(
     decoded: jax.Array,
     rate_bits: jax.Array,
