@@ -46,11 +46,10 @@ def encode_one_run(run_cfg, seed: int = 0, hls_sig_blksize: int = 16) -> dict:
     from coolchic_tpu.io import load_frame_data_from_file
     from coolchic_tpu.train.encode import encode_frame_with_quant_info
 
+    if str(run_cfg.input).endswith(".yuv"):
+        return encode_video_run(run_cfg, seed, hls_sig_blksize)
+
     fd = load_frame_data_from_file(str(run_cfg.input))
-    assert fd.frame_data_type == "rgb", (
-        "The encode CLI currently supports RGB inputs; YUV is on the video "
-        "path roadmap."
-    )
     cfg = run_cfg.dec_cfg.to_coolchic_config(fd.img_size)
     preset = run_cfg.enc_cfg.recipe.to_preset()
     target = jnp.asarray(fd.data)
@@ -109,6 +108,60 @@ def encode_one_run(run_cfg, seed: int = 0, hls_sig_blksize: int = 16) -> dict:
             f.write("\t".join(row.keys()) + "\n")
             f.write("\t".join(str(v) for v in row.values()) + "\n")
     return row
+
+
+def encode_video_run(run_cfg, seed: int = 0, hls_sig_blksize: int = 16) -> dict:
+    """Encode a .yuv sequence: GOP structure from the encoder config
+    (intra_period/p_period), per-frame overfitting, multi-frame bitstream
+    (reference: encode.py video path via VideoEncoder)."""
+    from pathlib import Path as _Path
+
+    from coolchic_tpu.io import parse_yuv_size
+    from coolchic_tpu.video import CodingStructure, VideoEncoder
+
+    w, h = parse_yuv_size(str(run_cfg.input))
+    cfg = run_cfg.dec_cfg.to_coolchic_config((h, w))
+    preset = run_cfg.enc_cfg.recipe.to_preset()
+    cs = CodingStructure(
+        intra_period=run_cfg.enc_cfg.intra_period,
+        p_period=run_cfg.enc_cfg.p_period or max(run_cfg.enc_cfg.intra_period, 1),
+        seq_name=_Path(run_cfg.input).stem,
+    )
+    enc = VideoEncoder(
+        cs, cfg, preset, lmbda=run_cfg.lmbda, n_loops=run_cfg.enc_cfg.n_train_loops
+    )
+    t0 = time.time()
+    enc.encode(str(run_cfg.input), seed=seed, workdir=run_cfg.workdir)
+    elapsed = time.time() - t0
+    bitstream = enc.to_bitstream(hls_sig_blksize)
+    if run_cfg.output:
+        Path(run_cfg.output).write_bytes(bitstream)
+    n_frames = cs.get_number_of_frames()
+    row = {
+        "seq_name": _Path(run_cfg.input).stem,
+        "lmbda": run_cfg.lmbda,
+        "rate_bpp": len(bitstream) * 8 / (cfg.n_pixels * n_frames),
+        "n_pixels": cfg.n_pixels,
+        "psnr_db": float(
+            np_mean([e.psnr_db for e in enc.all_frame_encoders.values()])
+        ),
+        "rate_latent_bpp": float(
+            np_mean([e.rate_latent_bpp for e in enc.all_frame_encoders.values()])
+        ),
+        "loss": float("nan"),
+        "encoding_time_sec": elapsed,
+    }
+    if run_cfg.workdir:
+        workdir = Path(run_cfg.workdir)
+        workdir.mkdir(parents=True, exist_ok=True)
+        with open(workdir / "results_best.tsv", "w") as f:
+            f.write("\t".join(row.keys()) + "\n")
+            f.write("\t".join(str(v) for v in row.values()) + "\n")
+    return row
+
+
+def np_mean(xs):
+    return sum(xs) / max(len(xs), 1)
 
 
 def main(argv=None) -> int:

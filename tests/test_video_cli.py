@@ -1,0 +1,102 @@
+"""Video CLI path: .yuv encode through the CLI + .yuv decode output."""
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.mark.slow
+def test_cli_yuv_video_roundtrip(tmp_path):
+    from coolchic_tpu.io import read_yuv, write_yuv
+
+    h, w = 16, 24
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    f0 = np.stack([xx, yy, 0.5 * (xx + yy)], 0).astype(np.float32)
+    f1 = np.clip(f0 + 0.04, 0, 1)
+    src = tmp_path / f"seq_{w}x{h}_25fps_444_8b.yuv"
+    write_yuv(f0, 8, "yuv444", str(src))
+    write_yuv(f1, 8, "yuv444", str(src))
+
+    dec_cfg = tmp_path / "dec.yaml"
+    dec_cfg.write_text(
+        yaml.safe_dump(
+            {
+                "arm": "8,1",
+                "layers_synthesis": "8-1-linear-relu,X-1-linear-none",
+                "n_ft_per_res": "1,1,1",
+            }
+        )
+    )
+    out_bs = tmp_path / "seq.cool"
+
+    from coolchic_tpu.encode import main as encode_main
+
+    rc = encode_main(
+        [
+            "--input", str(src),
+            "--output", str(out_bs),
+            "--enc_preset", "debug",
+            "--dec_cfg", str(dec_cfg),
+            "--workdir", str(tmp_path / "wd"),
+            # intra_period/p_period come from the EncoderConfig; debug preset
+            # defaults to 0/0 (single frame) so pass a 2-frame structure via
+            # the config file path below.
+        ]
+    )
+    assert rc == 0
+    assert out_bs.exists()
+
+    from coolchic_tpu.decode import main as decode_main
+
+    out_yuv = tmp_path / f"dec_{w}x{h}_25fps_444_8b.yuv"
+    rc = decode_main(["-i", str(out_bs), "-o", str(out_yuv), "--verbosity", "1"])
+    assert rc == 0
+    dec0 = read_yuv(str(out_yuv), 0, "yuv444", 8)
+    assert dec0.shape == (3, h, w)
+    mse = float(np.mean((dec0 - f0) ** 2))
+    assert mse < 0.2  # debug preset: basic fidelity only
+
+
+@pytest.mark.slow
+def test_cli_yuv_gop_config(tmp_path):
+    """2-frame low-delay GOP through a UserConfig YAML."""
+    from coolchic_tpu.io import write_yuv
+
+    h, w = 16, 16
+    rng = np.random.RandomState(0)
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    f0 = np.stack([xx, yy, xx * yy], 0).astype(np.float32)
+    f1 = np.clip(f0 * 0.9 + 0.05, 0, 1)
+    src = tmp_path / f"seq_{w}x{h}_25fps_444_8b.yuv"
+    write_yuv(f0, 8, "yuv444", str(src))
+    write_yuv(f1, 8, "yuv444", str(src))
+
+    cfg = {
+        "input": str(src),
+        "output": str(tmp_path / "seq.cool"),
+        "workdir": str(tmp_path / "wd"),
+        "lmbda": 1e-3,
+        "enc_cfg": {
+            "std_recipe_name": "debug",
+            "intra_period": 1,
+            "p_period": 1,
+        },
+        "dec_cfg": {
+            "arm": "8,1",
+            "layers_synthesis": "8-1-linear-relu,X-1-linear-none",
+            "n_ft_per_res": "1,1,1",
+        },
+    }
+    cfg_path = tmp_path / "run.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from coolchic_tpu.encode import main as encode_main
+
+    rc = encode_main(["--config", str(cfg_path)])
+    assert rc == 0
+
+    from coolchic_tpu.bitstream import decode_video_bitstream
+
+    frames, info = decode_video_bitstream((tmp_path / "seq.cool").read_bytes())
+    assert len(frames) == 2
+    assert info["gop_header"].intra_period == 1
