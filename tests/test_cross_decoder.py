@@ -1,0 +1,95 @@
+"""Cross-decoder compatibility: our bitstreams through the REFERENCE decoder.
+
+Builds the reference's standalone ccdec binary (from the read-only mount)
+and verifies that a bitstream produced by this framework decodes with it —
+the strongest format-compatibility proof available — and that our integer
+reconstruction matches the reference decoder bit-exactly.
+
+Skipped when the reference sources or toolchain are unavailable.
+"""
+
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF_CPP = Path("/root/reference/coolchic/cpp")
+BUILD_DIR = Path(tempfile.gettempdir()) / "ccdec_build_test"
+
+
+@pytest.fixture(scope="session")
+def ccdec():
+    if not REF_CPP.exists():
+        pytest.skip("reference sources not mounted")
+    exe = BUILD_DIR / "ccdec"
+    if not exe.exists():
+        BUILD_DIR.mkdir(parents=True, exist_ok=True)
+        try:
+            subprocess.run(
+                ["cmake", str(REF_CPP), "-DCMAKE_BUILD_TYPE=Release"],
+                cwd=BUILD_DIR, check=True, capture_output=True, timeout=300,
+            )
+            subprocess.run(
+                ["make", "-j8"], cwd=BUILD_DIR, check=True, capture_output=True,
+                timeout=600,
+            )
+        except Exception as e:
+            pytest.skip(f"cannot build reference decoder: {e}")
+    return exe
+
+
+@pytest.mark.slow
+def test_reference_decoder_reads_our_bitstream(ccdec, tmp_path):
+    from coolchic_tpu.bitstream import decode_bitstream, encode_image_bitstream
+    from coolchic_tpu.io import read_ppm
+    from coolchic_tpu.models import CoolChicConfig, init_coolchic_params
+    from coolchic_tpu.train import TrainerPhase, run_phase
+    from coolchic_tpu.train.quantize_model import quantize_model_with_info
+
+    cfg = CoolChicConfig(
+        img_size=(64, 96),
+        n_ft_per_res=(1, 1, 1, 1),
+        layers_synthesis=("16-1-linear-relu", "3-1-linear-none", "3-3-residual-none"),
+        dim_arm=8,
+        n_hidden_layers_arm=1,
+    )
+    y, x = jnp.meshgrid(jnp.linspace(0, 1, 64), jnp.linspace(0, 1, 96), indexing="ij")
+    target = jnp.stack([0.5 + 0.4 * jnp.sin(6 * x), y * 0.8 + 0.1, 0.5 * (x + y)], 0)
+    params = init_coolchic_params(jax.random.PRNGKey(0), cfg)
+    phase = TrainerPhase(
+        lr=1e-2, max_itr=300, freq_valid=100, schedule_lr=True,
+        quantizer_type="softround", quantizer_noise_type="gaussian",
+        softround_temperature=(0.3, 0.1), noise_parameter=(0.25, 0.1),
+    )
+    params, _ = run_phase(params, target, 2e-3, jax.random.PRNGKey(1), cfg, phase)
+    qparams, infos = quantize_model_with_info(params, target, 2e-3, cfg)
+    nn_q = {m: {"weight": float(i.q_step_w), "bias": float(i.q_step_b)}
+            for m, i in infos.items()}
+    nn_g = {m: {"weight": int(i.expgol_w), "bias": int(i.expgol_b)}
+            for m, i in infos.items()}
+    bs = encode_image_bitstream(qparams, cfg, nn_q, nn_g)
+
+    bpath = tmp_path / "ours.cool"
+    bpath.write_bytes(bs)
+    out_ppm = tmp_path / "refdec.ppm"
+    r = subprocess.run(
+        [str(ccdec), f"--input={bpath}", f"--output={out_ppm}", "--cpu"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, f"reference decoder failed: {r.stdout}{r.stderr}"
+
+    ref_img, _ = read_ppm(str(out_ppm))
+
+    # Our integer pipeline must match the reference decoder bit-exactly
+    # (both are the same fixed-point semantics).
+    my_int, _ = decode_bitstream(bs, integer_pipeline=True)
+    np.testing.assert_allclose(ref_img, my_int, atol=1e-5)
+
+    # Float decode within one 8-bit level.
+    my_float, _ = decode_bitstream(bs)
+    assert np.abs(ref_img - my_float).max() <= 1.01 / 255.0
