@@ -42,7 +42,7 @@ def build_library() -> str:
 
         emit_inc_file(inc)
     cmd = (
-        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC"]
+        ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC"]
         + [os.path.join(_CPP_DIR, s) for s in _SOURCES]
         + ["-o", _LIB_PATH]
     )

@@ -27,8 +27,8 @@ constexpr int ARM_PRECISION = 8;
 constexpr int UPS_PRECISION = 12;
 constexpr int SYN_MUL_PRECISION = 12;
 
-inline int32_t shr_to_zero(int64_t v, int n) {
-  return v < 0 ? -static_cast<int32_t>((-v) >> n) : static_cast<int32_t>(v >> n);
+inline int32_t shr_to_zero(int32_t v, int n) {
+  return v < 0 ? -((-v) >> n) : (v >> n);
 }
 
 // Simple plane with copy-based padding.
@@ -72,8 +72,8 @@ Plane ups_refine(const Plane& in, const int32_t* kw, int ks, int src_prec) {
     Plane p = pad_plane(in, pad, /*replicate=*/false);  // zero LR pad
     for (int y = 0; y < in.h; y++)
       for (int x = 0; x < in.w; x++) {
-        int64_t sum = 0;
-        for (int k = 0; k < ks; k++) sum += (int64_t)p.at(y + pad, x + k) * kw[k];
+        int32_t sum = 0;
+        for (int k = 0; k < ks; k++) sum += p.at(y + pad, x + k) * kw[k];
         tmp.at(y, x) = shr_to_zero(sum, src_prec);
       }
   }
@@ -83,9 +83,9 @@ Plane ups_refine(const Plane& in, const int32_t* kw, int ks, int src_prec) {
   Plane p = pad_plane(tmp, pad, /*replicate=*/false);  // zero TB pad
   for (int y = 0; y < in.h; y++)
     for (int x = 0; x < in.w; x++) {
-      int64_t sum = 0;
-      for (int k = 0; k < ks; k++) sum += (int64_t)p.at(y + k, x + pad) * kw[k];
-      sum += ((int64_t)in.at(y, x) << residue_shift) << UPS_PRECISION;
+      int32_t sum = 0;
+      for (int k = 0; k < ks; k++) sum += p.at(y + k, x + pad) * kw[k];
+      sum += (in.at(y, x) << residue_shift) << UPS_PRECISION;
       out.at(y, x) = shr_to_zero(sum, UPS_PRECISION);
     }
   return out;
@@ -109,10 +109,10 @@ Plane ups_upsample(const Plane& in, const int32_t* kw_full, int ksx2,
     Plane p = pad_plane(in, pad, /*replicate=*/true);
     for (int y = 0; y < in.h; y++)
       for (int x = 0; x < in.w; x++) {
-        int64_t se = 0, so = 0;
+        int32_t se = 0, so = 0;
         for (int k = 0; k < ks; k++) {
-          se += (int64_t)p.at(y + pad, x + k) * kw_even[k];
-          so += (int64_t)p.at(y + pad, x + k + 1) * kw_odd[k];
+          se += p.at(y + pad, x + k) * kw_even[k];
+          so += p.at(y + pad, x + k + 1) * kw_odd[k];
         }
         tmp.at(y, 2 * x) = shr_to_zero(se, src_prec);
         tmp.at(y, 2 * x + 1) = shr_to_zero(so, src_prec);
@@ -124,10 +124,10 @@ Plane ups_upsample(const Plane& in, const int32_t* kw_full, int ksx2,
   // padded tmp has horizontal pad too; index columns at +pad.
   for (int y = 0; y < in.h; y++)
     for (int x = 0; x < out_w; x++) {
-      int64_t se = 0, so = 0;
+      int32_t se = 0, so = 0;
       for (int k = 0; k < ks; k++) {
-        se += (int64_t)p.at(y + k, x + pad) * kw_even[k];
-        so += (int64_t)p.at(y + k + 1, x + pad) * kw_odd[k];
+        se += p.at(y + k, x + pad) * kw_even[k];
+        so += p.at(y + k + 1, x + pad) * kw_odd[k];
       }
       if (2 * y < out_h) out.at(2 * y, x) = shr_to_zero(se, UPS_PRECISION);
       if (2 * y + 1 < out_h) out.at(2 * y + 1, x) = shr_to_zero(so, UPS_PRECISION);
@@ -195,11 +195,14 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
   }
 
   // ---- Synthesis: conv stack over the dense planes
-  // (reference: syn_cpu.hpp, run_syn).
+  // (reference: syn_cpu.hpp, run_syn). int32 accumulation matches the
+  // reference's fixed-point semantics exactly; row-major inner loops
+  // autovectorize.
   std::vector<Plane> planes = std::move(dense);
   const int32_t* wp = syn_w;
   const int32_t* bp = syn_b;
   int n_in = n_res;
+  std::vector<int32_t> acc_row(W);
   for (int l = 0; l < n_syn_layers; l++) {
     int out_ft = syn_desc[4 * l + 0];
     int ks = syn_desc[4 * l + 1];
@@ -210,31 +213,47 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
     std::vector<Plane> padded(n_in);
     for (int i = 0; i < n_in; i++)
       padded[i] = pad > 0 ? pad_plane(planes[i], pad, /*replicate=*/true)
-                          : planes[i];
+                          : std::move(planes[i]);
+    int pw = W + 2 * pad;  // padded row stride
 
     std::vector<Plane> next(out_ft);
     for (int o = 0; o < out_ft; o++) next[o].resize(H, W);
 
-    for (int y = 0; y < H; y++)
-      for (int x = 0; x < W; x++) {
-        for (int o = 0; o < out_ft; o++) {
-          int64_t sum = bp[o];
-          const int32_t* k = wp + o * n_in * ks * ks;
-          if (residual)
-            sum += (int64_t)planes[o].at(y, x) << SYN_MUL_PRECISION;
-          for (int i = 0; i < n_in; i++)
-            for (int yy = 0; yy < ks; yy++)
-              for (int xx = 0; xx < ks; xx++)
-                sum += (int64_t)padded[i].at(y + yy, x + xx) * (*k++);
-          int32_t v;
+    for (int o = 0; o < out_ft; o++) {
+      const int32_t* kbase = wp + (size_t)o * n_in * ks * ks;
+      const int32_t bias = bp[o];
+      for (int y = 0; y < H; y++) {
+        int32_t* acc = acc_row.data();
+        for (int x = 0; x < W; x++) acc[x] = bias;
+        if (residual) {
+          // residual source is the (unpadded) input plane o.
+          const int32_t* r = pad > 0 ? &padded[o].data[(size_t)(y + pad) * pw + pad]
+                                     : &padded[o].data[(size_t)y * W];
+          for (int x = 0; x < W; x++) acc[x] += r[x] << SYN_MUL_PRECISION;
+        }
+        const int32_t* k = kbase;
+        for (int i = 0; i < n_in; i++) {
+          for (int yy = 0; yy < ks; yy++) {
+            const int32_t* src = &padded[i].data[(size_t)(y + yy) * pw];
+            for (int xx = 0; xx < ks; xx++) {
+              const int32_t wgt = *k++;
+              if (wgt == 0) continue;
+              const int32_t* s = src + xx;
+              for (int x = 0; x < W; x++) acc[x] += s[x] * wgt;
+            }
+          }
+        }
+        int32_t* dst = &next[o].data[(size_t)y * W];
+        for (int x = 0; x < W; x++) {
+          int32_t sum = acc[x];
           if (sum < 0)
-            v = relu ? 0 : shr_to_zero(sum, SYN_MUL_PRECISION);
+            dst[x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
           else
-            v = static_cast<int32_t>(sum >> SYN_MUL_PRECISION);
-          next[o].at(y, x) = v;
+            dst[x] = sum >> SYN_MUL_PRECISION;
         }
       }
-    wp += (int64_t)out_ft * n_in * ks * ks;
+    }
+    wp += (size_t)out_ft * n_in * ks * ks;
     bp += out_ft;
     planes = std::move(next);
     n_in = out_ft;
