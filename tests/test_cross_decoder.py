@@ -43,6 +43,34 @@ def ccdec():
     return exe
 
 
+PUBLISHED_BS = Path("/root/reference/results/image/kodak/bitstreams")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", ["kodim01-lmbda-0001", "kodim05-lmbda-002", "kodim13-lmbda-00001"]
+)
+def test_our_decoder_reads_published_bitstreams(ccdec, tmp_path, name):
+    """Reverse direction: the reference's PUBLISHED Kodak bitstreams decode
+    with our integer pipeline bit-exactly (vs the reference decoder's own
+    output)."""
+    from coolchic_tpu.bitstream import decode_bitstream
+    from coolchic_tpu.io import read_ppm
+
+    path = PUBLISHED_BS / f"{name}.cool"
+    if not path.exists():
+        pytest.skip("published bitstreams not mounted")
+    out = tmp_path / "ref.ppm"
+    r = subprocess.run(
+        [str(ccdec), f"--input={path}", f"--output={out}", "--cpu"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    ref_img, _ = read_ppm(str(out))
+    my_int, _ = decode_bitstream(path.read_bytes(), integer_pipeline=True)
+    np.testing.assert_allclose(ref_img, my_int, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_reference_decoder_reads_our_bitstream(ccdec, tmp_path):
     from coolchic_tpu.bitstream import decode_bitstream, encode_image_bitstream
