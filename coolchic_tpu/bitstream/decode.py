@@ -159,15 +159,13 @@ def _ups_syn_integer(params, latents, cfg: CoolChicConfig) -> np.ndarray:
     12-frac-bit kernels/weights, 24-frac-bit synthesis biases
     (reference: cpp/cc-frame-decoder.cpp decode_weights_qi)."""
     from coolchic_tpu.bitstream.entropy import ups_syn_int
-    from coolchic_tpu.models.upsampling import symmetric_kernel_1d
 
     heights = [s[1] for s in cfg.latent_shapes]
     widths = [s[2] for s in cfg.latent_shapes]
 
     def full_kernel_int(half, k):
-        import jax.numpy as jnp
-
-        full = np.asarray(symmetric_kernel_1d(jnp.asarray(half), k))
+        half = np.asarray(half, np.float64)
+        full = np.concatenate([half, half[::-1][k % 2 :]])
         return np.round(full * 4096.0).astype(np.int64)
 
     ups_k = np.concatenate(
