@@ -29,9 +29,24 @@ IMAGE_AXIS = "images"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = IMAGE_AXIS) -> Mesh:
-    """1-D mesh over (the first n) available devices."""
+    """1-D mesh over (the first n) available devices.
+
+    When the default backend has fewer devices than requested (e.g. one
+    real TPU behind a tunnel), fall back to the CPU backend's virtual
+    devices (xla_force_host_platform_device_count) so multi-chip programs
+    can be dry-run anywhere."""
     devices = jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= n_devices:
+                devices = cpu
+        except RuntimeError:
+            pass
     if n_devices is not None:
+        assert len(devices) >= n_devices, (
+            f"need {n_devices} devices, have {len(devices)}"
+        )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
