@@ -108,6 +108,18 @@ class LatentHyperNet(nn.Module):
         return outputs
 
 
+def upsample_latents(latents, img_size, method: str = "bicubic") -> jax.Array:
+    """Resize every latent grid to the full image size and concatenate along
+    channels (reference: hypernet/common.py:185-197; used by the
+    double-backbone variant). Latents are NHWC [B, h, w, 1]."""
+    h, w = img_size
+    resized = [
+        jax.image.resize(l, (l.shape[0], h, w, l.shape[-1]), method=method)
+        for l in latents
+    ]
+    return jnp.concatenate(resized, axis=-1)
+
+
 class MLP(nn.Module):
     """input -> hidden -> [hidden] * n_hidden_layers -> output, ReLU
     activations, optional output activation

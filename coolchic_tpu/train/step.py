@@ -79,6 +79,38 @@ def eval_metrics(
     return loss_function(decoded, rate, target, lmbda, rate_nn_bits)
 
 
+def detailed_eval_metrics(
+    params: Params, cfg: CoolChicConfig, target: jax.Array, lmbda, rate_nn_bits=0.0
+) -> dict:
+    """Rich per-frame logs like the reference's FrameEncoderLogs
+    (reference: enc/training/test.py:29-366): overall loss/PSNR/rates plus
+    per-latent-grid bpp breakdown and feature usage."""
+    decoded, rate, extras = frame_forward(params, cfg, training=False)
+    out = loss_function(decoded, rate, target, lmbda, rate_nn_bits)
+
+    per_grid_bpp = {}
+    per_grid_nonzero = {}
+    cnt = 0
+    flat_latent = extras["flat_latent"]
+    for i, (c, h, w) in enumerate(cfg.latent_shapes):
+        n = c * h * w
+        per_grid_bpp[f"latent_{i}_bpp"] = jnp.sum(rate[cnt : cnt + n]) / cfg.n_pixels
+        per_grid_nonzero[f"latent_{i}_nonzero_pct"] = (
+            100.0 * jnp.mean(flat_latent[cnt : cnt + n] != 0)
+        )
+        cnt += n
+    return {
+        "loss": out.loss,
+        "psnr_db": out.psnr_db,
+        "mse": out.mse,
+        "rate_latent_bpp": out.rate_latent_bpp,
+        "rate_nn_bpp": out.rate_nn_bpp,
+        "total_rate_bpp": out.total_rate_bpp,
+        **per_grid_bpp,
+        **per_grid_nonzero,
+    }
+
+
 class PhaseState(NamedTuple):
     params: Params
     opt_state: Any
