@@ -34,6 +34,25 @@ def test_xla_cost_analysis():
     assert 0.5 < c["flops_per_pixel"] / (2 * analytic) < 5
 
 
+def test_detailed_eval_metrics():
+    import jax
+    import jax.numpy as jnp
+
+    from coolchic_tpu.models import init_coolchic_params
+    from coolchic_tpu.train.step import detailed_eval_metrics, eval_metrics
+
+    params = init_coolchic_params(jax.random.PRNGKey(0), CFG, latent_init="normal")
+    target = jax.random.uniform(jax.random.PRNGKey(1), (3, *CFG.img_size))
+    d = detailed_eval_metrics(params, CFG, target, 1e-3)
+    m = eval_metrics(params, CFG, target, 1e-3)
+    assert float(d["loss"]) == pytest.approx(float(m.loss), rel=1e-6)
+    # Per-grid bpp sums to the total latent bpp.
+    total = sum(float(d[f"latent_{i}_bpp"]) for i in range(CFG.latent_n_grids))
+    assert total == pytest.approx(float(m.rate_latent_bpp), rel=1e-5)
+    for i in range(CFG.latent_n_grids):
+        assert 0.0 <= float(d[f"latent_{i}_nonzero_pct"]) <= 100.0
+
+
 def test_logging_noop_when_disabled(tmp_path):
     from coolchic_tpu.utils import logging as clog
 
