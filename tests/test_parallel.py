@@ -68,3 +68,30 @@ def test_graft_entry_dryrun():
     loss, psnr, bpp = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
     mod.dryrun_multichip(8)
+
+
+def test_graft_entry_dryrun_fresh_process():
+    """Regression for MULTICHIP_r01: dryrun_multichip must self-force the
+    virtual-CPU backend in a pristine process (no XLA_FLAGS/JAX_PLATFORMS
+    help from the environment) — exactly how the driver launches it."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip(8): ok" in out.stdout
