@@ -24,15 +24,30 @@ _HEADERS = ["cabac.hpp", "gen_contexts.inc"]
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _needs_build() -> bool:
-    if not os.path.exists(_LIB_PATH):
-        return True
-    lib_mtime = os.path.getmtime(_LIB_PATH)
+_HASH_PATH = _LIB_PATH + ".srchash"
+
+
+def _source_hash() -> str:
+    """Content hash of every source/header feeding the build (mtimes are
+    unreliable after a fresh clone, where all files share checkout time and
+    a stale committed .so built with -march=native elsewhere could load)."""
+    import hashlib
+
+    h = hashlib.sha256()
     for f in _SOURCES + _HEADERS:
         p = os.path.join(_CPP_DIR, f)
-        if os.path.exists(p) and os.path.getmtime(p) > lib_mtime:
-            return True
-    return False
+        if os.path.exists(p):
+            with open(p, "rb") as fh:
+                h.update(f.encode())
+                h.update(fh.read())
+    return h.hexdigest()
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_LIB_PATH) or not os.path.exists(_HASH_PATH):
+        return True
+    with open(_HASH_PATH) as f:
+        return f.read().strip() != _source_hash()
 
 
 def build_library() -> str:
@@ -47,6 +62,8 @@ def build_library() -> str:
         + ["-o", _LIB_PATH]
     )
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(_HASH_PATH, "w") as f:
+        f.write(_source_hash())
     return _LIB_PATH
 
 

@@ -33,6 +33,11 @@ def _build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dec_cfg", type=Path, default=None, help="DecoderConfig YAML")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hls_sig_blksize", type=int, default=16)
+    p.add_argument(
+        "--disable_wandb",
+        action="store_true",
+        help="turn off experiment logging (reference: encode.py:148-152)",
+    )
     return p
 
 
@@ -90,12 +95,26 @@ def encode_one_run(run_cfg, seed: int = 0, hls_sig_blksize: int = 16) -> dict:
 
     n_pixels = cfg.n_pixels
     real_bpp = len(bitstream) * 8 / n_pixels if bitstream else float("nan")
+    # The reported PSNR is measured on the actual decoded bitstream (the
+    # integer pipeline), not the float training forward: the reconstruction
+    # the user gets goes through the decoder-matched NN reload + integer
+    # ARM, so the float estimate can drift slightly.
+    psnr_decoded = float(result.psnr_db)
+    if bitstream is not None and fd.frame_data_type == "rgb":
+        import numpy as np
+
+        from coolchic_tpu.bitstream import decode_bitstream
+
+        decoded_img, _ = decode_bitstream(bitstream, integer_pipeline=True)
+        mse = float(np.mean((decoded_img - np.asarray(fd.data)) ** 2))
+        psnr_decoded = -10.0 * np.log10(mse + 1e-12)
     row = {
         "seq_name": Path(run_cfg.input).stem,
         "lmbda": run_cfg.lmbda,
         "rate_bpp": real_bpp,
         "n_pixels": n_pixels,
-        "psnr_db": float(result.psnr_db),
+        "psnr_db": psnr_decoded,
+        "psnr_db_estimate": float(result.psnr_db),
         "rate_latent_bpp": float(result.rate_latent_bpp),
         "loss": float(result.loss),
         "encoding_time_sec": elapsed,
@@ -120,7 +139,10 @@ def encode_video_run(run_cfg, seed: int = 0, hls_sig_blksize: int = 16) -> dict:
     from coolchic_tpu.video import CodingStructure, VideoEncoder
 
     w, h = parse_yuv_size(str(run_cfg.input))
-    cfg = run_cfg.dec_cfg.to_coolchic_config((h, w))
+    # YUV420 content trains with the 4:1:1-weighted MSE
+    # (reference: enc/training/loss.py:53-87).
+    fdt = "yuv420" if "420" in str(run_cfg.input) else "yuv444"
+    cfg = run_cfg.dec_cfg.to_coolchic_config((h, w), frame_data_type=fdt)
     preset = run_cfg.enc_cfg.recipe.to_preset()
     cs = CodingStructure(
         intra_period=run_cfg.enc_cfg.intra_period,
@@ -196,8 +218,21 @@ def main(argv=None) -> int:
             dec_cfg=dec_cfg,
         )
 
-    for run_cfg in user_cfg.get_run_configs():
+    from coolchic_tpu.utils import logging as cclog
+
+    for i, run_cfg in enumerate(user_cfg.get_run_configs()):
+        # one logging run per encode run (reference: encode.py:154)
+        cclog.init(
+            config={
+                "input": str(run_cfg.input),
+                "lmbda": run_cfg.lmbda,
+                "recipe": run_cfg.enc_cfg.std_recipe_name,
+            },
+            disable=args.disable_wandb,
+        )
         row = encode_one_run(run_cfg, args.seed, args.hls_sig_blksize)
+        cclog.log(row, step=i)
+        cclog.finish()
         print(
             f"{row['seq_name']}: lmbda={row['lmbda']:.1e} "
             f"psnr={row['psnr_db']:.3f} dB rate={row['rate_bpp']:.4f} bpp "

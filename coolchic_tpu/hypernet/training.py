@@ -23,6 +23,7 @@ import optax
 from coolchic_tpu.hypernet.wholenet import WholeNetState
 from coolchic_tpu.train.loss import loss_function
 from coolchic_tpu.train.presets import TrainerPhase
+from coolchic_tpu.utils import logging as cclog
 
 GRAD_CLIP_NORM = 1.0  # reference: hypernet/training.py:322
 
@@ -121,6 +122,8 @@ def train_wholenet(
     patience_samples: Optional[int] = None,
     unfreeze_backbone_samples: int = 0,
     verbose: bool = True,
+    workdir: Optional[Any] = None,
+    checkpointing_freq_samples: Optional[int] = None,
 ):
     """Train for ``n_samples`` images with periodic evaluation + patience
     best-reload (reference: training.py:207-392).
@@ -130,6 +133,9 @@ def train_wholenet(
         eval_imgs: held-out [B_eval, 3, H, W] batch.
         unfreeze_backbone_samples: keep the backbone frozen until this many
             samples have been seen (reference: training.py:235, 376-377).
+        workdir / checkpointing_freq_samples: write ``samples_{N}.pkl``
+            checkpoints every N samples during the run (reference:
+            training.py:371-373; resumable via the ``__latest`` convention).
 
     Returns:
         (best state, list of HypernetTrainLog).
@@ -152,11 +158,13 @@ def train_wholenet(
 
     for i in range(n_steps):
         samples_seen = i * batch_size
-        # Un/refreeze the backbone once the threshold is crossed.
+        # Un/refreeze the backbone once the threshold is crossed. The
+        # optimizer chain is identical (freezing is grad masking), so the
+        # Adam moments carry over — the reference likewise only flips
+        # requires_grad and keeps training (reference: training.py:376-377).
         if frozen and samples_seen >= unfreeze_backbone_samples:
             frozen = False
-            tx, step = make_wholenet_train_step(net, phase, freeze_backbone=False)
-            opt_state = tx.init(state)
+            _, step = make_wholenet_train_step(net, phase, freeze_backbone=False)
 
         frac = samples_seen / n_samples
         lr = phase.lr * 0.5 * (1 + jnp.cos(jnp.pi * frac)) if phase.schedule_lr else phase.lr
@@ -172,6 +180,17 @@ def train_wholenet(
         state, opt_state, loss = step(
             state, opt_state, imgs, lmbda, step_key, lr, temp, noise
         )
+
+        if workdir is not None and checkpointing_freq_samples:
+            ckpt_steps = max(checkpointing_freq_samples // batch_size, 1)
+            if (i + 1) % ckpt_steps == 0:
+                from coolchic_tpu.hypernet.inference import save_checkpoint
+                from pathlib import Path
+
+                n_seen = samples_seen + batch_size
+                save_checkpoint(
+                    state, Path(workdir) / f"samples_{n_seen}.pkl", n_seen
+                )
 
         if (i + 1) % freq_valid_steps == 0 or i + 1 == n_steps:
             m = evaluate_wholenet(net, state, eval_imgs, lmbda)
@@ -191,6 +210,20 @@ def train_wholenet(
                     eval_psnr_db=float(m["psnr_db"]),
                     eval_rate_bpp=float(m["rate_latent_bpp"]),
                 )
+            )
+            # per-validation experiment logging (reference: training.py:342-351)
+            cclog.log(
+                {
+                    "samples_seen": samples_seen + batch_size,
+                    "train_loss": float(loss),
+                    "eval_loss": eval_loss,
+                    "eval_psnr_db": float(m["psnr_db"]),
+                    "eval_rate_bpp": float(m["rate_latent_bpp"]),
+                    "lr": float(lr),
+                    "softround_temperature": float(temp),
+                    "noise_parameter": float(noise),
+                },
+                step=samples_seen + batch_size,
             )
             if verbose:
                 print(

@@ -28,6 +28,13 @@ def main(argv=None) -> int:
     p.add_argument("--lmbda", type=float, default=None)
     p.add_argument("--patch_size", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--disable_wandb", action="store_true")
+    p.add_argument(
+        "--checkpointing_freq",
+        type=int,
+        default=None,
+        help="write samples_N.pkl every N samples (reference: training.py:371-373)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -98,6 +105,18 @@ def main(argv=None) -> int:
             [test_ds[i] for i in range(min(8, len(test_ds)))]
         )
 
+    from coolchic_tpu.utils import logging as cclog
+
+    cclog.init(
+        config={
+            "mode": args.mode,
+            "n_samples": n_samples,
+            "batch_size": batch_size,
+            "lmbda": lmbda,
+            "backbone": backbone,
+        },
+        disable=args.disable_wandb,
+    )
     best, logs = train_wholenet(
         net,
         state,
@@ -109,7 +128,10 @@ def main(argv=None) -> int:
         n_samples=n_samples,
         batch_size=batch_size,
         unfreeze_backbone_samples=unfreeze,
+        workdir=workdir,
+        checkpointing_freq_samples=args.checkpointing_freq,
     )
+    cclog.finish()
     save_checkpoint(best, workdir / f"samples_{n_samples}.pkl", n_samples)
     print(f"saved {workdir / f'samples_{n_samples}.pkl'}")
     return 0

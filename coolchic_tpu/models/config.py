@@ -38,6 +38,9 @@ class CoolChicConfig:
         ups_k_size: even kernel size of the x2 transposed-conv upsamplers.
         ups_preconcat_k_size: odd kernel size of the pre-concat filters.
         out_channels: channels of the synthesized output (3 for RGB/YUV444).
+        frame_data_type: "rgb" | "yuv444" | "yuv420". Static so the
+            training loss can weight YUV420 MSE 4:1:1 under jit
+            (reference: enc/training/loss.py:53-87).
     """
 
     img_size: Tuple[int, int]
@@ -54,6 +57,7 @@ class CoolChicConfig:
     ups_k_size: int = 8
     ups_preconcat_k_size: int = 7
     out_channels: int = 3
+    frame_data_type: str = "rgb"
 
     def __post_init__(self):
         assert self.dim_arm in (8, 16, 24, 32), (

@@ -40,6 +40,7 @@ def loss_function(
     target: jax.Array,
     lmbda: float | jax.Array,
     rate_nn_bits: float | jax.Array = 0.0,
+    frame_data_type: str = "rgb",
 ) -> LossOutput:
     """Compute the RD loss for one frame.
 
@@ -49,8 +50,14 @@ def loss_function(
         target: [C, H, W] original image.
         lmbda: rate weight.
         rate_nn_bits: total network-weights rate in bits (no gradient).
+        frame_data_type: "yuv420" weights the MSE 4:1:1 on the subsampled
+            chroma grid (reference: loss.py:53-87); anything else is plain
+            per-pixel MSE. Must be static under jit.
     """
-    mse = jnp.mean((decoded - target) ** 2)
+    if frame_data_type == "yuv420":
+        mse = yuv420_mse(decoded, target)
+    else:
+        mse = jnp.mean((decoded - target) ** 2)
     n_pixels = decoded.shape[-2] * decoded.shape[-1]
     rate_latent_bits = jnp.sum(rate_bits)
     rate_bpp = (rate_latent_bits + rate_nn_bits) / n_pixels

@@ -76,7 +76,10 @@ def eval_metrics(
     """Eval-mode test: hardround quantizer, no noise, bitdepth rounding
     (reference: enc/training/test.py:369-438)."""
     decoded, rate, _ = frame_forward(params, cfg, training=False)
-    return loss_function(decoded, rate, target, lmbda, rate_nn_bits)
+    return loss_function(
+        decoded, rate, target, lmbda, rate_nn_bits,
+        frame_data_type=cfg.frame_data_type,
+    )
 
 
 def detailed_eval_metrics(
@@ -86,7 +89,10 @@ def detailed_eval_metrics(
     (reference: enc/training/test.py:29-366): overall loss/PSNR/rates plus
     per-latent-grid bpp breakdown and feature usage."""
     decoded, rate, extras = frame_forward(params, cfg, training=False)
-    out = loss_function(decoded, rate, target, lmbda, rate_nn_bits)
+    out = loss_function(
+        decoded, rate, target, lmbda, rate_nn_bits,
+        frame_data_type=cfg.frame_data_type,
+    )
 
     per_grid_bpp = {}
     per_grid_nonzero = {}
@@ -170,7 +176,9 @@ def make_train_step(cfg: CoolChicConfig, phase: TrainerPhase, remat: bool = True
 
     def loss_fn(p, target, lmbda, step_key, temp, noise):
         decoded, rate, _ = fwd(p, step_key, temp, noise)
-        return loss_function(decoded, rate, target, lmbda).loss
+        return loss_function(
+            decoded, rate, target, lmbda, frame_data_type=cfg.frame_data_type
+        ).loss
 
     def step_fn(params, opt_state, target, lmbda, step_key, lr, temp, noise, mask):
         loss, grads = jax.value_and_grad(loss_fn)(

@@ -174,7 +174,10 @@ class DecoderConfig(BaseModel):
         return out
 
     def to_coolchic_config(
-        self, img_size: Tuple[int, int], out_channels: int = 3
+        self,
+        img_size: Tuple[int, int],
+        out_channels: int = 3,
+        frame_data_type: str = "rgb",
     ) -> CoolChicConfig:
         return CoolChicConfig(
             img_size=img_size,
@@ -186,6 +189,7 @@ class DecoderConfig(BaseModel):
             ups_k_size=self.ups_k_size,
             ups_preconcat_k_size=self.ups_preconcat_k_size,
             out_channels=out_channels,
+            frame_data_type=frame_data_type,
         )
 
 

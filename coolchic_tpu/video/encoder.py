@@ -121,6 +121,7 @@ class VideoEncoder:
             target = self._load_frame(input_path, frame.display_order)
             lmbda = lmbda_from_depth(frame.depth, self.lmbda)
             manager = FrameEncoderManager(lmbda=lmbda)
+            frame_start_time = time.time()
 
             best = None
             for loop in range(self.n_loops):
@@ -133,7 +134,7 @@ class VideoEncoder:
                     manager.best_loss = float(result.loss)
                     best = (result, infos)
             result, infos = best
-            manager.total_training_time_sec += time.time() - start_time
+            manager.total_training_time_sec += time.time() - frame_start_time
 
             self.all_frame_encoders[str(idx_coding_order)] = EncodedFrame(
                 params=jax.tree.map(np.asarray, result.params),

@@ -1,0 +1,87 @@
+"""RD loss: YUV420 4:1:1 weighting and its wiring into the training path
+(reference: coolchic/enc/training/loss.py:53-87)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coolchic_tpu.models import CoolChicConfig, init_coolchic_params
+from coolchic_tpu.train import eval_metrics
+from coolchic_tpu.train.loss import loss_function, yuv420_mse
+
+
+def _imgs(key, h=16, w=24):
+    k1, k2 = jax.random.split(key)
+    a = jax.random.uniform(k1, (3, h, w))
+    b = jax.random.uniform(k2, (3, h, w))
+    return a, b
+
+
+def test_yuv420_mse_matches_reference_formula():
+    """MSE = (4*MSE_Y + MSE_U + MSE_V) / 6 with nearest-subsampled chroma
+    — i.e. a pixel-count-weighted mean over the 420 planes."""
+    a, b = _imgs(jax.random.PRNGKey(0))
+    got = float(yuv420_mse(a, b))
+
+    an, bn = np.asarray(a), np.asarray(b)
+    mse_y = np.mean((an[0] - bn[0]) ** 2)
+    mse_u = np.mean((an[1, ::2, ::2] - bn[1, ::2, ::2]) ** 2)
+    mse_v = np.mean((an[2, ::2, ::2] - bn[2, ::2, ::2]) ** 2)
+    # identical to sum(mse_c * n_pixels_c) / sum(n_pixels_c) for 420 planes
+    want = (4 * mse_y + mse_u + mse_v) / 6
+    assert got == pytest.approx(float(want), rel=1e-6)
+
+
+def test_loss_function_respects_frame_data_type():
+    a, b = _imgs(jax.random.PRNGKey(1))
+    rate = jnp.zeros((5,))
+    plain = loss_function(a, rate, b, 1e-3)
+    weighted = loss_function(a, rate, b, 1e-3, frame_data_type="yuv420")
+    assert float(weighted.mse) == pytest.approx(float(yuv420_mse(a, b)), rel=1e-6)
+    assert float(plain.mse) == pytest.approx(float(jnp.mean((a - b) ** 2)), rel=1e-6)
+    assert float(plain.mse) != pytest.approx(float(weighted.mse), rel=1e-3)
+
+
+def test_eval_metrics_uses_yuv420_loss_via_config():
+    """cfg.frame_data_type='yuv420' threads the weighted MSE through the
+    jitted eval/training path."""
+    cfg420 = CoolChicConfig(
+        img_size=(16, 24),
+        n_ft_per_res=(1, 1),
+        layers_synthesis=("8-1-linear-relu", "X-1-linear-none"),
+        dim_arm=8,
+        n_hidden_layers_arm=1,
+        frame_data_type="yuv420",
+    )
+    cfg444 = CoolChicConfig(
+        img_size=(16, 24),
+        n_ft_per_res=(1, 1),
+        layers_synthesis=("8-1-linear-relu", "X-1-linear-none"),
+        dim_arm=8,
+        n_hidden_layers_arm=1,
+    )
+    params = init_coolchic_params(jax.random.PRNGKey(0), cfg420)
+    target = jax.random.uniform(jax.random.PRNGKey(2), (3, 16, 24))
+    m420 = eval_metrics(params, cfg420, target, 1e-3)
+    m444 = eval_metrics(params, cfg444, target, 1e-3)
+    from coolchic_tpu.models import frame_forward
+
+    decoded, _, _ = frame_forward(params, cfg420, training=False)
+    assert float(m420.mse) == pytest.approx(float(yuv420_mse(decoded, target)), rel=1e-5)
+    assert float(m444.mse) == pytest.approx(
+        float(jnp.mean((decoded - target) ** 2)), rel=1e-5
+    )
+
+
+def test_video_cli_builds_yuv420_config(tmp_path):
+    """The .yuv encode path constructs a cfg with frame_data_type='yuv420'
+    so training uses the weighted loss."""
+    from coolchic_tpu.utils.types import DecoderConfig
+
+    cfg = DecoderConfig().to_coolchic_config((16, 24), frame_data_type="yuv420")
+    assert cfg.frame_data_type == "yuv420"
+    # and the CLI derives it from the filename convention
+    fname = "seq_416x240_25fps_yuv420_8b.yuv"
+    fdt = "yuv420" if "420" in fname else "yuv444"
+    assert fdt == "yuv420"
