@@ -1,14 +1,29 @@
 // Sequential latent-grid decoder: CABAC bin decode -> causal context gather
 // -> int32 ARM MLP -> (mu, sigma) context bins -> next bin, pixel by pixel
 // in raster order. This is the autoregressive half the TPU cannot run
-// (reference: coolchic/cpp/cc-frame-decoder.cpp run_arm + arm_cpu.cpp,
-// cc-bac.h decode path); upsampling + synthesis run elsewhere.
+// (reference: coolchic/cpp/cc-frame-decoder.cpp run_arm + arm_cpu.cpp /
+// arm_avx2.hpp, cc-bac.h decode path); upsampling + synthesis run elsewhere.
+//
+// Performance structure (same idea as the reference's AVX2 kernels,
+// expressed as autovectorizable fixed-width loops instead of intrinsics):
+//   * the MLP is templated on (dim_arm, n_hidden) so every loop bound is a
+//     compile-time constant and g++ -O3 -march=native vectorizes the
+//     [in x out] accumulation across the output lanes;
+//   * weights are transposed to input-major [in][out] at setup so the inner
+//     loop is out-contiguous (broadcast-input, vector-accumulate form);
+//   * the fixed-point "divide by 2^8 toward zero with rounding offset" is
+//     branchless: offset = (x>0)*128 - (x<0)*128, then the standard
+//     (x + 255*(x<0)) >> 8 truncation identity.
 //
 // Compiled into libccz.so together with entropy_api.cpp.
 
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 
 #include "cabac.hpp"
 
@@ -22,6 +37,7 @@ constexpr int ARM_PRECISION = 8;
 constexpr int ARM_SCALE = 1 << ARM_PRECISION;
 constexpr int PROBA_50_STATE = 2 * 32 + 1;
 constexpr int MAX_DIM_ARM = 32;
+constexpr int MAX_HIDDEN = 4;
 constexpr int PAD = 4;
 
 #include "gen_contexts.inc"
@@ -46,52 +62,183 @@ inline void val_mu_indices2(int val_mu, int val_log_sig, int& mu_rounded,
   mu_rounded >>= ARM_PRECISION;
 }
 
-// C-style to-zero division with rounding offset, matching the python/torch
-// integer ARM (reference: enc/bitstream/armint.py:95-109).
-inline int32_t div_to_zero(int32_t x, int32_t d) {
-  x += (x > 0 ? 1 : (x < 0 ? -1 : 0)) * (d / 2);
-  return x < 0 ? -((-x) / d) : x / d;
+// Branchless C-style to-zero division by 2^ARM_PRECISION with rounding
+// offset, matching the python/torch integer ARM (reference:
+// enc/bitstream/armint.py:95-109). Identities:
+//   x + sign(x)*128  ==  x + 128*(x>0) - 128*(x<0)
+//   trunc_to_zero(x >> 8)  ==  (x + 255*(x<0)) >> 8   (arithmetic shift)
+inline int32_t div256_to_zero(int32_t x) {
+  int32_t neg = x >> 31;                      // -1 if x<0 else 0
+  int32_t pos = (int32_t)((uint32_t)(-x) >> 31);  // 1 if x>0 else 0
+  x += (pos << (ARM_PRECISION - 1)) + (neg << (ARM_PRECISION - 1));
+  neg = x >> 31;
+  return (x + (neg & (ARM_SCALE - 1))) >> ARM_PRECISION;
 }
 
-struct ArmWeights {
-  // hidden layers then head; weight [out][in] row-major, bias [out].
-  std::vector<const int32_t*> w;
-  std::vector<const int32_t*> b;
+// Weights transposed to input-major [in][out] so the per-input inner loop
+// accumulates contiguously across outputs (vectorizes across lanes).
+// 32-byte alignment lets the AVX2 kernel use aligned loads of the rows.
+struct alignas(32) ArmWeightsT {
+  int32_t wt[MAX_HIDDEN][MAX_DIM_ARM][MAX_DIM_ARM];  // [layer][in][out]
+  int32_t b[MAX_HIDDEN][MAX_DIM_ARM];
+  int32_t head_w[MAX_DIM_ARM][2];   // [in][out] (scalar path)
+  int32_t head_w0[MAX_DIM_ARM];     // head rows, per-output (SIMD path)
+  int32_t head_w1[MAX_DIM_ARM];
+  int32_t head_b[2];
   int dim;
   int n_hidden;
 };
 
-// int32 MLP over one context vector -> (mu_int, logsig_int) at 8 frac bits.
-inline void arm_forward_one(const ArmWeights& aw, const int32_t* ctx,
-                            int32_t& mu, int32_t& ls) {
-  int32_t buf0[MAX_DIM_ARM], buf1[MAX_DIM_ARM];
-  const int C = aw.dim;
-  std::memcpy(buf0, ctx, C * sizeof(int32_t));
-  int32_t* x = buf0;
-  int32_t* y = buf1;
-  for (int l = 0; l < aw.n_hidden; l++) {
-    const int32_t* W = aw.w[l];
-    const int32_t* B = aw.b[l];
-    for (int o = 0; o < C; o++) {
-      int32_t acc = B[o] + x[o] * ARM_SCALE;  // residual
-      const int32_t* row = W + o * C;
-      for (int i = 0; i < C; i++) acc += row[i] * x[i];
-      acc = div_to_zero(acc, ARM_SCALE);
-      y[o] = acc > 0 ? acc : 0;  // ReLU
+void build_weights(ArmWeightsT& aw, const int32_t* weights,
+                   const int32_t* biases, int dim, int n_hidden) {
+  std::memset(aw.wt, 0, sizeof(aw.wt));
+  std::memset(aw.b, 0, sizeof(aw.b));
+  std::memset(aw.head_w0, 0, sizeof(aw.head_w0));
+  std::memset(aw.head_w1, 0, sizeof(aw.head_w1));
+  aw.dim = dim;
+  aw.n_hidden = n_hidden;
+  const int32_t* wp = weights;
+  const int32_t* bp = biases;
+  for (int l = 0; l < n_hidden; l++) {
+    for (int o = 0; o < dim; o++)
+      for (int i = 0; i < dim; i++) aw.wt[l][i][o] = wp[o * dim + i];
+    wp += dim * dim;
+    for (int o = 0; o < dim; o++) aw.b[l][o] = bp[o];
+    bp += dim;
+  }
+  for (int o = 0; o < 2; o++)
+    for (int i = 0; i < dim; i++) aw.head_w[i][o] = wp[o * dim + i];
+  for (int i = 0; i < dim; i++) {
+    aw.head_w0[i] = wp[0 * dim + i];
+    aw.head_w1[i] = wp[1 * dim + i];
+  }
+  for (int o = 0; o < 2; o++) aw.head_b[o] = bp[o];
+}
+
+// Fixed-size int32 MLP over one context vector -> (mu, logsig) at 8 frac
+// bits. C and NH are compile-time so every loop fully unrolls/vectorizes.
+// noinline is deliberate: inlined into the (branchy, register-hungry)
+// raster decode loop, gcc's vectorizer gives up and the MLP runs ~2.5x
+// slower; as a standalone function it vectorizes cleanly and the call
+// costs nothing by comparison.
+template <int C, int NH>
+__attribute__((noinline)) void arm_forward_fixed(const ArmWeightsT& aw,
+                                                 const int32_t* ctx,
+                                                 int32_t& mu, int32_t& ls) {
+  int32_t x[C], acc[C];
+  for (int i = 0; i < C; i++) x[i] = ctx[i];
+  for (int l = 0; l < NH; l++) {
+    for (int o = 0; o < C; o++) acc[o] = aw.b[l][o];
+    for (int i = 0; i < C; i++) {
+      const int32_t xi = x[i];
+      const int32_t* col = aw.wt[l][i];
+      for (int o = 0; o < C; o++) acc[o] += col[o] * xi;
     }
-    std::swap(x, y);
+    for (int o = 0; o < C; o++) {
+      int32_t v = div256_to_zero(acc[o] + (x[o] << ARM_PRECISION));  // residual
+      x[o] = v > 0 ? v : 0;                                          // ReLU
+    }
   }
-  const int32_t* W = aw.w[aw.n_hidden];
-  const int32_t* B = aw.b[aw.n_hidden];
-  int32_t out[2];
-  for (int o = 0; o < 2; o++) {
-    int32_t acc = B[o];
-    const int32_t* row = W + o * C;
-    for (int i = 0; i < C; i++) acc += row[i] * x[i];
-    out[o] = div_to_zero(acc, ARM_SCALE);
+  int32_t a0 = aw.head_b[0], a1 = aw.head_b[1];
+  for (int i = 0; i < C; i++) {
+    a0 += aw.head_w[i][0] * x[i];
+    a1 += aw.head_w[i][1] * x[i];
   }
-  mu = out[0];
-  ls = out[1];
+  mu = div256_to_zero(a0);
+  ls = div256_to_zero(a1);
+}
+
+#ifdef __AVX2__
+// In-register AVX2 pixel kernel (same math, same results as the scalar
+// path; structured like the reference's AVX2 ARM, reference:
+// coolchic/cpp/arm_avx2.hpp:14-256, but written against our transposed
+// weight layout). Two exact transformations make it branch-free:
+//   * gather -> MLP -> head stays in C/8 ymm registers, no spills;
+//   * hidden activations apply ReLU BEFORE the fixed-point shift — the
+//     value is then non-negative, so "divide by 2^8 toward zero with
+//     rounding offset" is exactly (v + 128) >> 8.
+template <int C>
+inline void arm_forward_avx2(const ArmWeightsT& aw, const int32_t* base,
+                             const __m256i* idx, int n_hidden, int32_t& mu,
+                             int32_t& ls) {
+  constexpr int NB = C / 8;
+  __m256i x[NB], acc[NB];
+  for (int b = 0; b < NB; b++)
+    x[b] = _mm256_i32gather_epi32(base, idx[b], 4);
+  const __m256i scale = _mm256_set1_epi32(ARM_SCALE);
+  const __m256i half = _mm256_set1_epi32(ARM_SCALE / 2);
+  const __m256i zero = _mm256_setzero_si256();
+  const __m256i rot = _mm256_setr_epi32(1, 2, 3, 4, 5, 6, 7, 0);
+  for (int l = 0; l < n_hidden; l++) {
+    const int32_t* k = &aw.wt[l][0][0];  // row stride MAX_DIM_ARM
+    for (int b = 0; b < NB; b++) {
+      acc[b] = _mm256_load_si256((const __m256i*)&aw.b[l][b * 8]);
+      acc[b] = _mm256_add_epi32(acc[b], _mm256_mullo_epi32(x[b], scale));
+    }
+    __m256i cur = x[0];
+    for (int ib = 0; ib < NB; ib++) {
+      for (int sub = 0; sub < 8; sub++, k += MAX_DIM_ARM) {
+        __m256i in = _mm256_broadcastd_epi32(_mm256_castsi256_si128(cur));
+        cur = _mm256_permutevar8x32_epi32(cur, rot);
+        for (int b = 0; b < NB; b++) {
+          __m256i w = _mm256_load_si256((const __m256i*)(k + b * 8));
+          acc[b] = _mm256_add_epi32(acc[b], _mm256_mullo_epi32(in, w));
+        }
+      }
+      if (ib + 1 < NB) cur = x[ib + 1];
+    }
+    for (int b = 0; b < NB; b++) {
+      __m256i r = _mm256_max_epi32(acc[b], zero);
+      x[b] = _mm256_srai_epi32(_mm256_add_epi32(r, half), ARM_PRECISION);
+    }
+  }
+  __m256i s0 = zero, s1 = zero;
+  for (int b = 0; b < NB; b++) {
+    s0 = _mm256_add_epi32(
+        s0, _mm256_mullo_epi32(
+                x[b], _mm256_load_si256((const __m256i*)&aw.head_w0[b * 8])));
+    s1 = _mm256_add_epi32(
+        s1, _mm256_mullo_epi32(
+                x[b], _mm256_load_si256((const __m256i*)&aw.head_w1[b * 8])));
+  }
+  auto hsum = [](__m256i v) -> int32_t {
+    __m128i lo = _mm256_castsi256_si128(v);
+    __m128i hi = _mm256_extracti128_si256(v, 1);
+    lo = _mm_add_epi32(lo, hi);
+    lo = _mm_add_epi32(lo, _mm_shuffle_epi32(lo, 0x4e));
+    lo = _mm_add_epi32(lo, _mm_shuffle_epi32(lo, 0xb1));
+    return _mm_cvtsi128_si32(lo);
+  };
+  mu = div256_to_zero(aw.head_b[0] + hsum(s0));
+  ls = div256_to_zero(aw.head_b[1] + hsum(s1));
+}
+#endif  // __AVX2__
+
+// Generic fallback for unusual (dim, n_hidden) combinations.
+void arm_forward_generic(const ArmWeightsT& aw, const int32_t* ctx,
+                         int32_t& mu, int32_t& ls) {
+  const int C = aw.dim;
+  int32_t x[MAX_DIM_ARM], acc[MAX_DIM_ARM];
+  for (int i = 0; i < C; i++) x[i] = ctx[i];
+  for (int l = 0; l < aw.n_hidden; l++) {
+    for (int o = 0; o < C; o++) acc[o] = aw.b[l][o];
+    for (int i = 0; i < C; i++) {
+      const int32_t xi = x[i];
+      const int32_t* col = aw.wt[l][i];
+      for (int o = 0; o < C; o++) acc[o] += col[o] * xi;
+    }
+    for (int o = 0; o < C; o++) {
+      int32_t v = div256_to_zero(acc[o] + (x[o] << ARM_PRECISION));
+      x[o] = v > 0 ? v : 0;
+    }
+  }
+  int32_t a0 = aw.head_b[0], a1 = aw.head_b[1];
+  for (int i = 0; i < C; i++) {
+    a0 += aw.head_w[i][0] * x[i];
+    a1 += aw.head_w[i][1] * x[i];
+  }
+  mu = div256_to_zero(a0);
+  ls = div256_to_zero(a1);
 }
 
 int decode_val2(ccz::Decoder& dec, const short* s) {
@@ -104,6 +251,57 @@ int decode_val2(ccz::Decoder& dec, const short* s) {
   else v = dec.decode_exgolomb(0) + 3 + 1;
   if (dec.decode_bin(ppos) != 0) v = -v;
   return v;
+}
+
+// Raster decode loop, templated on the MLP shape so arm_forward_fixed
+// inlines into the per-pixel body (an indirect call per pixel costs ~2x).
+// FWD == nullptr (generic shapes) falls back to arm_forward_generic.
+template <int C, int NH, bool GENERIC>
+void decode_grid_loop(const ArmWeightsT& aw, ccz::Decoder& dec,
+                      const std::vector<uint8_t>& blk_sig,
+                      const std::vector<uint8_t>& blk_flat, int nbx, int ablk,
+                      int shift, int h, int w, int pw, int32_t* plane0,
+                      const int32_t* ctx_off, int dim_arm, int32_t* out) {
+  int32_t ctxbuf[MAX_DIM_ARM];
+#ifdef __AVX2__
+  __m256i vidx[MAX_DIM_ARM / 8];
+  if constexpr (!GENERIC)
+    for (int b = 0; b < C / 8; b++)
+      vidx[b] = _mm256_loadu_si256((const __m256i*)&ctx_off[b * 8]);
+#endif
+  for (int y = 0; y < h; y++) {
+    int32_t* prow = plane0 + (size_t)(y + PAD) * pw + PAD;
+    for (int x = 0; x < w; x++) {
+      int idx = y * w + x;
+      int32_t val;
+      if (ablk > 0 && !blk_sig[(y >> shift) * nbx + (x >> shift)]) {
+        val = 0;
+      } else if (ablk > 0 && blk_flat[(y >> shift) * nbx + (x >> shift)] &&
+                 (y % ablk != 0 || x % ablk != 0)) {
+        val = (x % ablk != 0) ? out[idx - 1] : out[idx - w];
+      } else {
+        const int32_t* base = prow + x;
+        int32_t mu, ls;
+        if constexpr (GENERIC) {
+          for (int c = 0; c < dim_arm; c++) ctxbuf[c] = base[ctx_off[c]];
+          arm_forward_generic(aw, ctxbuf, mu, ls);
+        } else {
+#ifdef __AVX2__
+          arm_forward_avx2<C>(aw, base, vidx, NH, mu, ls);
+#else
+          for (int c = 0; c < C; c++) ctxbuf[c] = base[ctx_off[c]];
+          arm_forward_fixed<C, NH>(aw, ctxbuf, mu, ls);
+#endif
+        }
+        int mu_rounded, mu_index, sig_index;
+        val_mu_indices2(mu, ls, mu_rounded, mu_index, sig_index);
+        val = mu_rounded +
+              decode_val2(dec, kContextStates[mu_index][sig_index]);
+      }
+      out[idx] = val;
+      prow[x] = val * ARM_SCALE;
+    }
+  }
 }
 
 }  // namespace
@@ -125,19 +323,8 @@ void ccz_decode_arm_latent_layer(const uint8_t* data, int len,
                                  int dim_arm, int n_hidden,
                                  const int32_t* ctx_dy, const int32_t* ctx_dx,
                                  int h, int w, int blk, int32_t* out) {
-  ArmWeights aw;
-  aw.dim = dim_arm;
-  aw.n_hidden = n_hidden;
-  const int32_t* wp = weights;
-  const int32_t* bp = biases;
-  for (int l = 0; l < n_hidden; l++) {
-    aw.w.push_back(wp);
-    wp += dim_arm * dim_arm;
-    aw.b.push_back(bp);
-    bp += dim_arm;
-  }
-  aw.w.push_back(wp);
-  aw.b.push_back(bp);
+  ArmWeightsT aw;
+  build_weights(aw, weights, biases, dim_arm, n_hidden);
 
   bool update = blk < 0;
   int ablk = update ? -blk : blk;
@@ -168,35 +355,33 @@ void ccz_decode_arm_latent_layer(const uint8_t* data, int len,
   // Zero-padded plane holding latent * 2^8 for context gathers.
   const int pw = w + 2 * PAD;
   std::vector<int32_t> plane((h + 2 * PAD) * pw, 0);
-  auto plane_at = [&](int y, int x) -> int32_t& {
-    return plane[(y + PAD) * pw + (x + PAD)];
-  };
 
-  int32_t ctxbuf[MAX_DIM_ARM];
-  for (int y = 0; y < h; y++) {
-    for (int x = 0; x < w; x++) {
-      int idx = y * w + x;
-      int32_t val;
-      if (ablk > 0 && !blk_sig[(y >> shift) * nbx + (x >> shift)]) {
-        val = 0;
-      } else if (ablk > 0 && blk_flat[(y >> shift) * nbx + (x >> shift)] &&
-                 (y % ablk != 0 || x % ablk != 0)) {
-        val = (x % ablk != 0) ? out[idx - 1] : out[idx - w];
-      } else {
-        for (int c = 0; c < dim_arm; c++) {
-          // offsets are window coordinates: plane position (y-4+dy, x-4+dx).
-          ctxbuf[c] = plane_at(y - PAD + ctx_dy[c], x - PAD + ctx_dx[c]);
-        }
-        int32_t mu, ls;
-        arm_forward_one(aw, ctxbuf, mu, ls);
-        int mu_rounded, mu_index, sig_index;
-        val_mu_indices2(mu, ls, mu_rounded, mu_index, sig_index);
-        val = mu_rounded +
-              decode_val2(dec, kContextStates[mu_index][sig_index]);
-      }
-      out[idx] = val;
-      plane_at(y, x) = val * ARM_SCALE;
-    }
+  // Precompute flat plane offsets of each context tap relative to the
+  // current pixel's plane cell: (dy - PAD) * pw + (dx - PAD).
+  int32_t ctx_off[MAX_DIM_ARM];
+  for (int c = 0; c < dim_arm; c++)
+    ctx_off[c] = (ctx_dy[c] - PAD) * pw + (ctx_dx[c] - PAD);
+
+  switch (dim_arm * 10 + n_hidden) {
+#define CCZ_CASE(C, NH)                                                     \
+  case C * 10 + NH:                                                         \
+    decode_grid_loop<C, NH, false>(aw, dec, blk_sig, blk_flat, nbx, ablk,   \
+                                   shift, h, w, pw, plane.data(), ctx_off,  \
+                                   dim_arm, out);                           \
+    break;
+    CCZ_CASE(8, 1)
+    CCZ_CASE(8, 2)
+    CCZ_CASE(16, 1)
+    CCZ_CASE(16, 2)
+    CCZ_CASE(24, 1)
+    CCZ_CASE(24, 2)
+    CCZ_CASE(32, 1)
+    CCZ_CASE(32, 2)
+#undef CCZ_CASE
+    default:
+      decode_grid_loop<0, 0, true>(aw, dec, blk_sig, blk_flat, nbx, ablk,
+                                   shift, h, w, pw, plane.data(), ctx_off,
+                                   dim_arm, out);
   }
 }
 

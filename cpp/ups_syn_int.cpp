@@ -63,31 +63,59 @@ Plane pad_plane(const Plane& p, int pad, bool replicate) {
 }
 
 // Odd symmetric separable conv + residual (reference: ups_refine_cpu.hpp).
-// src at src_prec frac bits; output at UPS_PRECISION.
+// src at src_prec frac bits; output at UPS_PRECISION. Borders are handled
+// inline (zero padding semantics) instead of materializing padded copies.
 Plane ups_refine(const Plane& in, const int32_t* kw, int ks, int src_prec) {
-  int pad = ks / 2;
+  const int pad = ks / 2;
+  const int h = in.h, w = in.w;
   Plane tmp;
-  tmp.resize(in.h, in.w);
-  {
-    Plane p = pad_plane(in, pad, /*replicate=*/false);  // zero LR pad
-    for (int y = 0; y < in.h; y++)
-      for (int x = 0; x < in.w; x++) {
-        int32_t sum = 0;
-        for (int k = 0; k < ks; k++) sum += p.at(y + pad, x + k) * kw[k];
-        tmp.at(y, x) = shr_to_zero(sum, src_prec);
-      }
-  }
-  Plane out;
-  out.resize(in.h, in.w);
-  int residue_shift = UPS_PRECISION - src_prec;
-  Plane p = pad_plane(tmp, pad, /*replicate=*/false);  // zero TB pad
-  for (int y = 0; y < in.h; y++)
-    for (int x = 0; x < in.w; x++) {
+  tmp.resize(h, w);
+  // Horizontal pass, zero-padded columns.
+  for (int y = 0; y < h; y++) {
+    const int32_t* src = &in.data[(size_t)y * w];
+    int32_t* dst = &tmp.data[(size_t)y * w];
+    int x = 0;
+    for (; x < pad && x < w; x++) {  // left border
       int32_t sum = 0;
-      for (int k = 0; k < ks; k++) sum += p.at(y + k, x + pad) * kw[k];
-      sum += (in.at(y, x) << residue_shift) << UPS_PRECISION;
-      out.at(y, x) = shr_to_zero(sum, UPS_PRECISION);
+      for (int k = 0; k < ks; k++) {
+        int sx = x - pad + k;
+        if (sx >= 0 && sx < w) sum += src[sx] * kw[k];
+      }
+      dst[x] = shr_to_zero(sum, src_prec);
     }
+    for (; x + pad < w; x++) {  // interior
+      int32_t sum = 0;
+      const int32_t* s = src + x - pad;
+      for (int k = 0; k < ks; k++) sum += s[k] * kw[k];
+      dst[x] = shr_to_zero(sum, src_prec);
+    }
+    for (; x < w; x++) {  // right border
+      int32_t sum = 0;
+      for (int k = 0; k < ks; k++) {
+        int sx = x - pad + k;
+        if (sx >= 0 && sx < w) sum += src[sx] * kw[k];
+      }
+      dst[x] = shr_to_zero(sum, src_prec);
+    }
+  }
+  // Vertical pass (zero-padded rows) + residual.
+  Plane out;
+  out.resize(h, w);
+  const int residue_shift = UPS_PRECISION - src_prec;
+  for (int y = 0; y < h; y++) {
+    int32_t* dst = &out.data[(size_t)y * w];
+    const int32_t* res = &in.data[(size_t)y * w];
+    for (int x = 0; x < w; x++)
+      dst[x] = (res[x] << residue_shift) << UPS_PRECISION;
+    for (int k = 0; k < ks; k++) {
+      int sy = y - pad + k;
+      if (sy < 0 || sy >= h) continue;
+      const int32_t wgt = kw[k];
+      const int32_t* s = &tmp.data[(size_t)sy * w];
+      for (int x = 0; x < w; x++) dst[x] += s[x] * wgt;
+    }
+    for (int x = 0; x < w; x++) dst[x] = shr_to_zero(dst[x], UPS_PRECISION);
+  }
   return out;
 }
 
@@ -103,35 +131,63 @@ Plane ups_upsample(const Plane& in, const int32_t* kw_full, int ksx2,
     kw_even[i] = kw_full[2 * i];
     kw_odd[i] = kw_full[2 * i + 1];
   }
+  const int h = in.h, w = in.w;
+  auto clampi = [](int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+  };
+  // Horizontal polyphase pass (replicate-padded columns): row-wise with an
+  // interior fast path, borders clamped inline.
   Plane tmp;
-  tmp.resize(in.h, 2 * in.w);
-  {
-    Plane p = pad_plane(in, pad, /*replicate=*/true);
-    for (int y = 0; y < in.h; y++)
-      for (int x = 0; x < in.w; x++) {
-        int32_t se = 0, so = 0;
+  tmp.resize(h, 2 * w);
+  for (int y = 0; y < h; y++) {
+    const int32_t* src = &in.data[(size_t)y * w];
+    int32_t* dst = &tmp.data[(size_t)y * 2 * w];
+    for (int x = 0; x < w; x++) {
+      int32_t se = 0, so = 0;
+      if (x >= pad && x - pad + ks < w) {
+        const int32_t* s = src + x - pad;
         for (int k = 0; k < ks; k++) {
-          se += p.at(y + pad, x + k) * kw_even[k];
-          so += p.at(y + pad, x + k + 1) * kw_odd[k];
+          se += s[k] * kw_even[k];
+          so += s[k + 1] * kw_odd[k];
         }
-        tmp.at(y, 2 * x) = shr_to_zero(se, src_prec);
-        tmp.at(y, 2 * x + 1) = shr_to_zero(so, src_prec);
+      } else {
+        for (int k = 0; k < ks; k++) {
+          se += src[clampi(x - pad + k, 0, w - 1)] * kw_even[k];
+          so += src[clampi(x - pad + k + 1, 0, w - 1)] * kw_odd[k];
+        }
       }
+      dst[2 * x] = shr_to_zero(se, src_prec);
+      dst[2 * x + 1] = shr_to_zero(so, src_prec);
+    }
   }
+  // Vertical polyphase pass (replicate-padded rows): accumulate whole rows.
   Plane out;
   out.resize(out_h, out_w);
-  Plane p = pad_plane(tmp, pad, /*replicate=*/true);
-  // padded tmp has horizontal pad too; index columns at +pad.
-  for (int y = 0; y < in.h; y++)
-    for (int x = 0; x < out_w; x++) {
-      int32_t se = 0, so = 0;
-      for (int k = 0; k < ks; k++) {
-        se += p.at(y + k, x + pad) * kw_even[k];
-        so += p.at(y + k + 1, x + pad) * kw_odd[k];
+  std::vector<int32_t> acc_e(out_w), acc_o(out_w);
+  for (int y = 0; y < h; y++) {
+    std::memset(acc_e.data(), 0, out_w * sizeof(int32_t));
+    std::memset(acc_o.data(), 0, out_w * sizeof(int32_t));
+    for (int k = 0; k < ks; k++) {
+      const int32_t* se_row = &tmp.data[(size_t)clampi(y - pad + k, 0, h - 1) * 2 * w];
+      const int32_t* so_row =
+          &tmp.data[(size_t)clampi(y - pad + k + 1, 0, h - 1) * 2 * w];
+      const int32_t we = kw_even[k], wo = kw_odd[k];
+      int32_t* ae = acc_e.data();
+      int32_t* ao = acc_o.data();
+      for (int x = 0; x < out_w; x++) {
+        ae[x] += se_row[x] * we;
+        ao[x] += so_row[x] * wo;
       }
-      if (2 * y < out_h) out.at(2 * y, x) = shr_to_zero(se, UPS_PRECISION);
-      if (2 * y + 1 < out_h) out.at(2 * y + 1, x) = shr_to_zero(so, UPS_PRECISION);
     }
+    if (2 * y < out_h) {
+      int32_t* dst = &out.data[(size_t)(2 * y) * out_w];
+      for (int x = 0; x < out_w; x++) dst[x] = shr_to_zero(acc_e[x], UPS_PRECISION);
+    }
+    if (2 * y + 1 < out_h) {
+      int32_t* dst = &out.data[(size_t)(2 * y + 1) * out_w];
+      for (int x = 0; x < out_w; x++) dst[x] = shr_to_zero(acc_o[x], UPS_PRECISION);
+    }
+  }
   return out;
 }
 
@@ -203,7 +259,93 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
   const int32_t* bp = syn_b;
   int n_in = n_res;
   std::vector<int32_t> acc_row(W);
-  for (int l = 0; l < n_syn_layers; l++) {
+
+  // Fast path: a leading chain of consecutive 1x1 layers (the reference's
+  // "fused" hot case, e.g. 7->48(relu)->3; reference: synfused_cpu.hpp)
+  // is processed row by row so the wide intermediate (48 x W) lives in
+  // cache instead of round-tripping 48 full planes through memory.
+  int l0 = 0;
+  {
+    int chain_end = 0;
+    while (chain_end < n_syn_layers && syn_desc[4 * chain_end + 1] == 1)
+      chain_end++;
+    if (chain_end >= 2) {
+      // Per-layer weight/bias pointers within the chain.
+      std::vector<const int32_t*> cw(chain_end), cb(chain_end);
+      std::vector<int> couts(chain_end), cins(chain_end);
+      {
+        const int32_t* w = wp;
+        const int32_t* b = bp;
+        int ci = n_in;
+        for (int l = 0; l < chain_end; l++) {
+          int co = syn_desc[4 * l + 0];
+          cw[l] = w;
+          cb[l] = b;
+          couts[l] = co;
+          cins[l] = ci;
+          w += (size_t)co * ci;
+          b += co;
+          ci = co;
+        }
+        wp = w;
+        bp = b;
+      }
+      int max_ft = n_in;
+      for (int l = 0; l < chain_end; l++)
+        if (couts[l] > max_ft) max_ft = couts[l];
+      int final_ft = couts[chain_end - 1];
+
+      std::vector<Plane> next(final_ft);
+      for (int o = 0; o < final_ft; o++) next[o].resize(H, W);
+      // two row-block buffers [max_ft][W]
+      std::vector<int32_t> buf_a((size_t)max_ft * W), buf_b((size_t)max_ft * W);
+      for (int y = 0; y < H; y++) {
+        int32_t* in = buf_a.data();
+        int32_t* sc = buf_b.data();
+        for (int i = 0; i < n_in; i++)
+          std::memcpy(in + (size_t)i * W, &planes[i].data[(size_t)y * W],
+                      W * sizeof(int32_t));
+        for (int l = 0; l < chain_end; l++) {
+          bool residual = syn_desc[4 * l + 2] != 0;
+          bool relu = syn_desc[4 * l + 3] != 0;
+          const int ci = cins[l], co = couts[l];
+          for (int o = 0; o < co; o++) {
+            int32_t* acc = acc_row.data();
+            const int32_t bias = cb[l][o];
+            for (int x = 0; x < W; x++) acc[x] = bias;
+            if (residual) {
+              const int32_t* r = in + (size_t)o * W;
+              for (int x = 0; x < W; x++) acc[x] += r[x] << SYN_MUL_PRECISION;
+            }
+            const int32_t* krow = cw[l] + (size_t)o * ci;
+            for (int i = 0; i < ci; i++) {
+              const int32_t wgt = krow[i];
+              if (wgt == 0) continue;
+              const int32_t* s = in + (size_t)i * W;
+              for (int x = 0; x < W; x++) acc[x] += s[x] * wgt;
+            }
+            int32_t* dst = sc + (size_t)o * W;
+            for (int x = 0; x < W; x++) {
+              int32_t sum = acc[x];
+              if (sum < 0)
+                dst[x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
+              else
+                dst[x] = sum >> SYN_MUL_PRECISION;
+            }
+          }
+          std::swap(in, sc);
+        }
+        for (int o = 0; o < final_ft; o++)
+          std::memcpy(&next[o].data[(size_t)y * W], in + (size_t)o * W,
+                      W * sizeof(int32_t));
+      }
+      planes = std::move(next);
+      n_in = final_ft;
+      l0 = chain_end;
+    }
+  }
+
+  for (int l = l0; l < n_syn_layers; l++) {
     int out_ft = syn_desc[4 * l + 0];
     int ks = syn_desc[4 * l + 1];
     bool residual = syn_desc[4 * l + 2] != 0;
