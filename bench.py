@@ -11,17 +11,19 @@ Methodology (hardened after round 1, where a degraded tunnel produced an
 8.67 s/image reading vs 0.68 on a quiet chip and the gap read as a code
 regression):
 
-- Each trial runs in a FRESH SUBPROCESS with retry + cooldown: the shared
-  single-chip tunnel intermittently kills the TPU worker on long-running
-  programs; a fresh process recovers after ~90 s.
+- All measurements run in ONE WORKER SUBPROCESS that streams one JSON line
+  per result; the orchestrator relaunches a fresh worker (after a cooldown)
+  if the tunnel kills it mid-run, keeping whatever completed. A fresh
+  process recovers from "TPU worker crashed" states; results already
+  printed are never lost.
 - Each trial uses a DISTINCT SEED and CHAINS state across calls (outputs
   feed inputs): the remote execution layer memoizes repeated identical
   executions, so replayed computations return instantly and fake speed.
 - Timing is anchored by a device->host transfer of the result
   (float(sum(...))) — `block_until_ready` alone returns before execution
   completes on this tunnel.
-- A bf16 matmul probe before/after reports achieved TFLOP/s (v5e peak
-  ~197): <50 = degraded chip; >250 = caching/async artifact, distrust.
+- A bf16 matmul probe reports achieved TFLOP/s (v5e peak ~197):
+  <50 = degraded chip; >250 = caching/async artifact, distrust the number.
 - Headline = MEDIAN of trials; `detail.chip_state` flags disagreement.
 
 vs_baseline: the reference publishes no encoder wall-clock (BASELINE.md:25),
@@ -30,7 +32,7 @@ for a 512x768 image on a single modern GPU. vs_baseline =
 baseline_s_per_image / ours_s_per_image (>1 means faster than the
 reference).
 
-Prints exactly one JSON line (worker-mode prints a single float instead).
+Prints exactly one JSON line (worker mode streams intermediate lines).
 """
 
 import argparse
@@ -47,10 +49,11 @@ BASELINE_S_PER_IMAGE = C3X_FAST_TOTAL_ITERS / 160.0  # ~96 s; see module docstri
 PHASE_ITERS = 600
 N_TRIALS = 3
 COOLDOWN_S = 90
-WORKER_TIMEOUT_S = 420
+WORKER_TIMEOUT_S = 360
+MAX_LAUNCHES = 3
 
 
-# ---------------------------------------------------------------- workers
+# ---------------------------------------------------------------- worker
 
 
 def probe_matmul_tflops(seed: int) -> float:
@@ -126,83 +129,81 @@ def measure(batch: int, trial: int) -> float:
     return batch * n_calls * PHASE_ITERS / dt
 
 
-# ------------------------------------------------------------ orchestrator
-
-
-def run_worker(kind: str, *, seed: int = 0, batch: int = 8, trial: int = 0,
-               attempts: int = 3):
-    """Run one measurement in a fresh subprocess; retry with cooldown on
-    tunnel crashes. Returns (value, device_str) or (None, err_tail)."""
-    env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
-    cmd = [sys.executable, os.path.abspath(__file__), "--worker", kind,
-           "--seed", str(seed), "--batch", str(batch), "--trial", str(trial)]
-    last = ""
-    for attempt in range(attempts):
-        try:
-            p = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=WORKER_TIMEOUT_S, env=env, cwd="/root/repo")
-        except subprocess.TimeoutExpired:
-            last = "worker timeout"
-            time.sleep(COOLDOWN_S)
-            continue
-        if p.returncode == 0:
-            try:
-                out = json.loads(p.stdout.strip().splitlines()[-1])
-                return out["value"], out.get("device", "?")
-            except Exception:
-                last = f"unparseable worker output: {p.stdout[-200:]}"
-        else:
-            last = (p.stderr or p.stdout)[-300:]
-        if attempt + 1 < attempts:
-            time.sleep(COOLDOWN_S)
-    return None, last
-
-
-def worker_main(args):
-    if args.worker == "probe":
-        v = probe_matmul_tflops(args.seed)
-    else:
-        v = measure(args.batch, args.trial)
+def worker_main(batch: int, todo: list[str]) -> None:
+    """Run the requested measurements, streaming one JSON line each.
+    `todo` entries: "probe:<seed>" or "trial:<i>"."""
     import jax
 
     dev = jax.devices()[0]
-    print(json.dumps({"value": v,
-                      "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"}))
+    print(json.dumps({"kind": "device",
+                      "value": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"}),
+          flush=True)
+    for item in todo:
+        kind, _, arg = item.partition(":")
+        if kind == "probe":
+            v = probe_matmul_tflops(int(arg))
+        else:
+            v = measure(batch, int(arg))
+        print(json.dumps({"kind": kind, "arg": int(arg), "value": v}), flush=True)
+
+
+# ------------------------------------------------------------ orchestrator
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--worker", choices=["probe", "trial"], default=None)
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--worker", action="store_true")
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--trial", type=int, default=0)
+    ap.add_argument("--todo", type=str, default="")
     args = ap.parse_args()
     if args.worker:
-        worker_main(args)
+        worker_main(args.batch, args.todo.split(","))
         return
 
-    tflops_before, device = run_worker("probe", seed=10)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
 
     batch = 8
-    trials: list[float] = []
+    todo = [f"probe:10"] + [f"trial:{t}" for t in range(N_TRIALS)] + ["probe:11"]
+    results: dict[str, float] = {}
+    device = "?"
     last_err = ""
-    while batch >= 1 and not trials:
-        for t in range(N_TRIALS):
-            v, info = run_worker("trial", batch=batch, trial=t)
-            if v is None:
-                last_err = info
-                trials = []
-                break
-            trials.append(v)
-            device = info
-        if not trials:
-            batch //= 2
-    if not trials:
-        raise SystemExit(f"bench failed at every batch size: {last_err}")
+    for launch in range(MAX_LAUNCHES):
+        pending = [x for x in todo if x not in results]
+        if not pending:
+            break
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--batch", str(batch), "--todo", ",".join(pending)]
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=WORKER_TIMEOUT_S, env=env, cwd="/root/repo")
+            out_lines = p.stdout.strip().splitlines()
+            if p.returncode != 0:
+                last_err = (p.stderr or p.stdout)[-300:]
+        except subprocess.TimeoutExpired as e:
+            out_lines = (e.stdout or "").strip().splitlines() if e.stdout else []
+            last_err = "worker timeout"
+        for line in out_lines:
+            try:
+                rec = json.loads(line)
+            except Exception:
+                continue
+            if rec.get("kind") == "device":
+                device = rec["value"]
+            else:
+                results[f"{rec['kind']}:{rec['arg']}"] = rec["value"]
+        still = [x for x in todo if x not in results]
+        trials_missing = [x for x in still if x.startswith("trial")]
+        if not trials_missing:
+            break
+        if launch + 1 < MAX_LAUNCHES:
+            time.sleep(COOLDOWN_S)
 
-    tflops_after, _ = run_worker("probe", seed=11)
-    probes = [x for x in (tflops_before, tflops_after) if x is not None]
+    trials = [results[k] for k in sorted(results) if k.startswith("trial")]
+    if not trials:
+        raise SystemExit(f"bench: no trial completed: {last_err}")
+    probes = [results[k] for k in sorted(results) if k.startswith("probe")]
+
     agg = sorted(trials)[len(trials) // 2]  # median: robust to one bad trial
     spread = max(trials) / min(trials)
     if probes and max(probes) > 250:  # above v5e bf16 peak (~197)
@@ -225,10 +226,7 @@ def main():
                     "batch": batch,
                     "train_it_per_s_aggregate": round(agg, 1),
                     "trials_it_per_s": [round(t, 1) for t in trials],
-                    "matmul_tflops_before_after": [
-                        round(x, 1) if x is not None else None
-                        for x in (tflops_before, tflops_after)
-                    ],
+                    "matmul_tflops": [round(x, 1) for x in probes],
                     "chip_state": chip_state,
                     "device": device,
                     "assumed_baseline_s_per_image": round(BASELINE_S_PER_IMAGE, 1),

@@ -192,36 +192,21 @@ def make_train_step(cfg: CoolChicConfig, phase: TrainerPhase, remat: bool = True
     return tx, step_fn
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "phase"),
-)
-def run_phase(
-    params: Params,
-    target: jax.Array,
-    lmbda: jax.Array | float,
-    key: jax.Array,
-    cfg: CoolChicConfig,
-    phase: TrainerPhase,
-) -> Tuple[Params, PhaseLogs]:
-    """Train ``params`` on ``target`` for one phase; return the best params
-    seen (eval-mode loss) and their metrics.
-
-    Args:
-        params: parameter pytree of one frame.
-        target: [C, H, W] image in [0, 1].
-        lmbda: rate weight.
-        key: PRNG key (quantization noise).
-        cfg: static model architecture.
-        phase: static phase description.
-    """
+def _phase_geometry(phase: TrainerPhase) -> Tuple[int, int, int, float]:
+    """(freq, n_full_blocks, rem, n_blocks_sched) for one phase."""
     freq = min(phase.freq_valid, phase.max_itr)
     n_full_blocks = phase.max_itr // freq
     rem = phase.max_itr % freq
     n_blocks_sched = max(phase.max_itr / phase.freq_valid, 1)  # cosine T_max
+    return freq, n_full_blocks, rem, n_blocks_sched
 
+
+def _make_run_block(cfg: CoolChicConfig, phase: TrainerPhase, target, lmbda, mask):
+    """Build the per-validation-block body shared by the monolithic and the
+    segmented phase runners. ``block_idx`` may be a traced scalar, so one
+    compilation serves every segment position."""
+    freq, _, _, n_blocks_sched = _phase_geometry(phase)
     tx, step_fn = make_train_step(cfg, phase)
-    mask = grad_mask(params, phase.optimized_module)
 
     def run_block(state: PhaseState, block_idx: jax.Array, n_steps: int) -> PhaseState:
         """n_steps gradient steps then one validation."""
@@ -289,11 +274,24 @@ def run_phase(
             key=state.key,
         )
 
-    # ---- initial test: current params are the record to beat
-    # (reference: train.py:153-157).
+    return run_block
+
+
+@partial(jax.jit, static_argnames=("cfg", "phase"))
+def init_phase_state(
+    params: Params,
+    target: jax.Array,
+    lmbda: jax.Array | float,
+    key: jax.Array,
+    cfg: CoolChicConfig,
+    phase: TrainerPhase,
+) -> PhaseState:
+    """Initial phase carry: current params are the record to beat
+    (reference: train.py:153-157)."""
+    tx = make_optimizer()
     m0 = eval_metrics(params, cfg, target, lmbda)
     opt_state0 = tx.init(params)
-    state = PhaseState(
+    return PhaseState(
         params=params,
         opt_state=opt_state0,
         best_params=params,
@@ -306,15 +304,92 @@ def run_phase(
         key=key,
     )
 
-    def scan_body(state, block_idx):
-        return run_block(state, block_idx, freq), None
 
-    # freq = min(freq_valid, max_itr) guarantees n_full_blocks >= 1.
-    state, _ = jax.lax.scan(scan_body, state, jnp.arange(n_full_blocks))
-    if rem:
-        state = run_block(state, jnp.int32(n_full_blocks), rem)
+@partial(jax.jit, static_argnames=("cfg", "phase", "n_blocks"))
+def run_phase_blocks(
+    state: PhaseState,
+    target: jax.Array,
+    lmbda: jax.Array | float,
+    block_start: jax.Array,
+    cfg: CoolChicConfig,
+    phase: TrainerPhase,
+    n_blocks: int,
+) -> PhaseState:
+    """Run ``n_blocks`` full validation blocks starting at (traced)
+    ``block_start``. Segmenting a phase into consecutive run_phase_blocks
+    calls runs the exact op sequence of the monolithic ``run_phase`` — the
+    carry holds everything and schedules/keys are pure functions of the
+    absolute block index (results match to ~1e-8; XLA fuses across segment
+    boundaries differently in the single-program form). This is the unit the
+    checkpointed/resumable sweep driver calls (the shared TPU tunnel kills
+    long-running programs; see scripts/kodak_rd_sweep.py)."""
+    freq, _, _, _ = _phase_geometry(phase)
+    mask = grad_mask(state.params, phase.optimized_module)
+    run_block = _make_run_block(cfg, phase, target, lmbda, mask)
 
+    def scan_body(s, block_idx):
+        return run_block(s, block_idx, freq), None
+
+    state, _ = jax.lax.scan(
+        scan_body, state, block_start + jnp.arange(n_blocks)
+    )
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg", "phase", "n_steps"))
+def run_phase_rem_block(
+    state: PhaseState,
+    target: jax.Array,
+    lmbda: jax.Array | float,
+    block_idx: jax.Array,
+    cfg: CoolChicConfig,
+    phase: TrainerPhase,
+    n_steps: int,
+) -> PhaseState:
+    """The final partial block when max_itr % freq_valid != 0."""
+    mask = grad_mask(state.params, phase.optimized_module)
+    run_block = _make_run_block(cfg, phase, target, lmbda, mask)
+    return run_block(state, block_idx, n_steps)
+
+
+def finish_phase(state: PhaseState) -> Tuple[Params, PhaseLogs]:
     logs = PhaseLogs(
         loss=state.best_loss, psnr_db=state.best_psnr, rate_latent_bpp=state.best_bpp
     )
     return state.best_params, logs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "phase"),
+)
+def run_phase(
+    params: Params,
+    target: jax.Array,
+    lmbda: jax.Array | float,
+    key: jax.Array,
+    cfg: CoolChicConfig,
+    phase: TrainerPhase,
+) -> Tuple[Params, PhaseLogs]:
+    """Train ``params`` on ``target`` for one phase; return the best params
+    seen (eval-mode loss) and their metrics.
+
+    Args:
+        params: parameter pytree of one frame.
+        target: [C, H, W] image in [0, 1].
+        lmbda: rate weight.
+        key: PRNG key (quantization noise).
+        cfg: static model architecture.
+        phase: static phase description.
+    """
+    freq, n_full_blocks, rem, _ = _phase_geometry(phase)
+    state = init_phase_state(params, target, lmbda, key, cfg, phase)
+    # freq = min(freq_valid, max_itr) guarantees n_full_blocks >= 1.
+    state = run_phase_blocks(
+        state, target, lmbda, jnp.int32(0), cfg, phase, n_full_blocks
+    )
+    if rem:
+        state = run_phase_rem_block(
+            state, target, lmbda, jnp.int32(n_full_blocks), cfg, phase, rem
+        )
+    return finish_phase(state)
