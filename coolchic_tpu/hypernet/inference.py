@@ -94,6 +94,72 @@ def eval_image_delta_subsets(
     return best
 
 
+def quantize_image_deltas(
+    net: DeltaWholeNet,
+    state: WholeNetState,
+    img: jax.Array,  # [3, H, W]
+    lmbda: float,
+):
+    """Predict latents + deltas for one image and RD-quantize the deltas —
+    the transmissible form of a hypernet output
+    (reference: quantizemodel.py:443-616 via inference.py:87).
+
+    Returns (latents list of [1, h, w], quantized delta pytrees,
+    per-module ModuleQuantInfo for the delta symbols)."""
+    from coolchic_tpu.train.quantize_model import quantize_model_deltas
+
+    latents, deltas = net.predict(state, img[None])
+    lat0 = [l[0] for l in latents]
+    delta0 = jax.tree.map(lambda d: d[0], deltas)
+    qdeltas, infos = quantize_model_deltas(
+        state.decoder, delta0, lat0, img, lmbda, net.cfg
+    )
+    return lat0, qdeltas, infos
+
+
+def hypernet_to_bitstream(
+    net: DeltaWholeNet,
+    state: WholeNetState,
+    img: jax.Array,  # [3, H, W]
+    lmbda: float,
+    bitdepth: int = 8,
+) -> tuple:
+    """One-forward-pass encode: hypernet prediction -> quantized deltas ->
+    materialized decoder -> standard decodable bitstream.
+
+    The CABAC bitstream format transmits absolute weights (reference:
+    enc/bitstream/encode.py), so after the delta RD-quantization the
+    decoder (base + quantized delta) is re-quantized through the standard
+    module grid for the stream; the delta infos report the delta-domain
+    rate (what a base-sharing receiver would pay).
+
+    Returns (bitstream bytes, info dict)."""
+    from coolchic_tpu.bitstream import encode_image_bitstream
+    from coolchic_tpu.train.quantize_model import quantize_model_with_info
+
+    lat0, qdeltas, delta_infos = quantize_image_deltas(net, state, img, lmbda)
+    params = {
+        m: jax.tree.map(lambda b, d: b + d, state.decoder[m], qdeltas[m])
+        for m in state.decoder
+    }
+    params["latents"] = [
+        jax.lax.stop_gradient(l[0][None] / net.cfg.encoder_gain) for l in lat0
+    ]
+    qparams, infos = quantize_model_with_info(params, img, lmbda, net.cfg)
+    nn_q_step = {
+        m: {"weight": float(i.q_step_w), "bias": float(i.q_step_b)}
+        for m, i in infos.items()
+    }
+    nn_expgol = {
+        m: {"weight": int(i.expgol_w), "bias": int(i.expgol_b)}
+        for m, i in infos.items()
+    }
+    bs = encode_image_bitstream(
+        qparams, net.cfg, nn_q_step, nn_expgol, bitdepth=bitdepth
+    )
+    return bs, {"delta_infos": delta_infos, "nn_infos": infos}
+
+
 def eval_dataset(
     net,
     state: WholeNetState,

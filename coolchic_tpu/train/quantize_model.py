@@ -214,3 +214,125 @@ def quantize_model(
 
 def total_nn_rate_bits(infos: Dict[str, ModuleQuantInfo]) -> jax.Array:
     return sum(info.rate_bits for info in infos.values())
+
+
+# --------------------------------------------------------------------------- #
+# Hypernet-predicted weight DELTAS: quantize what would be transmitted
+# (reference: coolchic/enc/training/quantizemodel.py:443-616).
+# --------------------------------------------------------------------------- #
+def _combine_nets(base: Params, deltas: Dict[str, Params]) -> Params:
+    """decoder = shared base + per-image deltas, per module."""
+    return {
+        m: jax.tree.map(lambda b, d: b + d, base[m], deltas[m]) for m in base
+    }
+
+
+def quantize_delta_module(
+    base: Params,
+    deltas: Dict[str, Params],
+    module: str,
+    latents,
+    target: jax.Array,
+    lmbda: jax.Array | float,
+    cfg: CoolChicConfig,
+    other_nn_rate_bits: jax.Array | float,
+    map_batch: int = 8,
+) -> Tuple[Params, ModuleQuantInfo]:
+    """RD-search the (q_step_w, q_step_b) grid over one module's DELTA
+    leaves; the decoder evaluated is base + (deltas with this module
+    quantized), exactly the reference's functional_call evaluation
+    (reference: quantizemodel.py:491-570)."""
+    from coolchic_tpu.models.coolchic import coolchic_forward_latents
+
+    w_steps = np.asarray(Q_STEPS[module]["weight"], np.float32)
+    b_steps = np.asarray(Q_STEPS[module]["bias"], np.float32)
+    weights, biases = _module_leaves(deltas, module)
+    has_bias = len(biases) > 0
+    if not has_bias:
+        b_steps = np.array([1.0], np.float32)
+
+    pair_w, pair_b = np.meshgrid(w_steps, b_steps, indexing="ij")
+    pair_w = jnp.asarray(pair_w.reshape(-1))
+    pair_b = jnp.asarray(pair_b.reshape(-1))
+    n_pairs = pair_w.shape[0]
+
+    def eval_pair(i):
+        dw, db = pair_w[i], pair_b[i]
+        qw, int_w, valid_w = _quantize_leaves(weights, dw)
+        if has_bias:
+            qb, int_b, valid_b = _quantize_leaves(biases, db)
+        else:
+            qb, int_b, valid_b = [], None, jnp.bool_(True)
+        valid = valid_w & valid_b
+
+        trial_deltas = _rebuild_module(deltas, module, qw, qb)
+        nets = _combine_nets(base, trial_deltas)
+        decoded, rate, _ = coolchic_forward_latents(
+            nets, latents, cfg, training=False
+        )
+
+        bits_w_all = expgol_bits_all_counts(int_w)
+        bits_w, cnt_w = jnp.min(bits_w_all), jnp.argmin(bits_w_all)
+        if int_b is not None:
+            bits_b_all = expgol_bits_all_counts(int_b)
+            bits_b, cnt_b = jnp.min(bits_b_all), jnp.argmin(bits_b_all)
+        else:
+            bits_b, cnt_b = jnp.float32(0.0), jnp.int32(0)
+
+        nn_bits = bits_w + bits_b + other_nn_rate_bits
+        loss = loss_function(decoded, rate, target, lmbda, nn_bits).loss
+        loss = jnp.where(valid, loss, jnp.inf)
+        return loss, bits_w + bits_b, cnt_w.astype(jnp.int32), cnt_b.astype(jnp.int32)
+
+    losses, rates, cnts_w, cnts_b = jax.lax.map(
+        eval_pair, jnp.arange(n_pairs), batch_size=min(map_batch, n_pairs)
+    )
+    best = jnp.argmin(losses)
+    dw, db = pair_w[best], pair_b[best]
+
+    qw, _, _ = _quantize_leaves(weights, dw)
+    qb = _quantize_leaves(biases, db)[0] if has_bias else []
+    new_deltas = _rebuild_module(deltas, module, qw, qb)
+    info = ModuleQuantInfo(
+        q_step_w=dw,
+        q_step_b=db,
+        expgol_w=cnts_w[best],
+        expgol_b=cnts_b[best],
+        rate_bits=rates[best],
+    )
+    return new_deltas, info
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def quantize_model_deltas(
+    base: Params,
+    deltas: Dict[str, Params],
+    latents,
+    target: jax.Array,
+    lmbda: jax.Array | float,
+    cfg: CoolChicConfig,
+) -> Tuple[Dict[str, Params], Dict[str, ModuleQuantInfo]]:
+    """Quantize the hypernet-predicted weight deltas greedily per module
+    (sorted order), measuring rate on the delta symbols — so a hypernet
+    output can be costed/transmitted as base-decoder + quantized deltas
+    (reference: quantizemodel.py:443-616).
+
+    Args:
+        base: shared decoder nets (arm/upsampling/synthesis — no latents).
+        deltas: per-module delta pytrees, same structure as ``base``.
+        latents: per-image latent grids in the forward convention of
+            ``DeltaWholeNet.forward`` (list of [C, h, w]).
+        target: [3, H, W] image.
+
+    Returns:
+        (quantized deltas, per-module ModuleQuantInfo).
+    """
+    infos: Dict[str, ModuleQuantInfo] = {}
+    other_rate = jnp.float32(0.0)
+    for module in MODULES_TO_SEND:
+        deltas, info = quantize_delta_module(
+            base, deltas, module, latents, target, lmbda, cfg, other_rate
+        )
+        infos[module] = info
+        other_rate = other_rate + info.rate_bits
+    return deltas, infos

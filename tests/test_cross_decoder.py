@@ -121,3 +121,44 @@ def test_reference_decoder_reads_our_bitstream(ccdec, tmp_path):
     # Float decode within one 8-bit level.
     my_float, _ = decode_bitstream(bs)
     assert np.abs(ref_img - my_float).max() <= 1.01 / 255.0
+
+
+def test_reference_decoder_reads_hypernet_bitstream(ccdec, tmp_path):
+    """hypernet prediction -> quantized deltas -> bitstream -> reference
+    ccdec decodes it bit-exactly vs our integer pipeline (VERDICT item 6)."""
+    from coolchic_tpu.bitstream import decode_bitstream
+    from coolchic_tpu.hypernet import DeltaWholeNet
+    from coolchic_tpu.hypernet.inference import hypernet_to_bitstream
+    from coolchic_tpu.io import read_ppm
+    from coolchic_tpu.models import CoolChicConfig
+
+    cfg = CoolChicConfig(
+        img_size=(32, 32),
+        n_ft_per_res=(1, 1, 1),
+        layers_synthesis=("8-1-linear-relu", "X-1-linear-none"),
+        dim_arm=8,
+        n_hidden_layers_arm=1,
+    )
+    net = DeltaWholeNet(cfg, backbone_arch="resnet18", n_hidden_channels=8)
+    state = net.init(jax.random.PRNGKey(0), cfg.img_size)
+    state = jax.tree.map(
+        lambda a: a + 0.01 * jax.random.normal(jax.random.PRNGKey(1), a.shape)
+        if a.ndim >= 1
+        else a,
+        state,
+    )
+    y, x = jnp.meshgrid(jnp.linspace(0, 1, 32), jnp.linspace(0, 1, 32), indexing="ij")
+    img = jnp.stack([x, y, 0.5 * (x + y)], 0)
+
+    bs, _ = hypernet_to_bitstream(net, state, img, 1e-3)
+    bpath = tmp_path / "hnet.cool"
+    bpath.write_bytes(bs)
+    out_ppm = tmp_path / "hnet.ppm"
+    r = subprocess.run(
+        [str(ccdec), f"--input={bpath}", f"--output={out_ppm}", "--cpu"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, f"reference decoder failed: {r.stdout}{r.stderr}"
+    ref_img, _ = read_ppm(str(out_ppm))
+    my_int, _ = decode_bitstream(bs, integer_pipeline=True)
+    np.testing.assert_allclose(ref_img, my_int, atol=1e-5)
