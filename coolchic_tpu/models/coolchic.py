@@ -36,6 +36,13 @@ from coolchic_tpu.models.upsampling import init_upsampling_params, upsampling_ap
 Params = Dict[str, Any]
 
 
+from coolchic_tpu.models.masking import (  # noqa: F401  (re-exported API)
+    level_valid_hw,
+    replicate_extend,
+    valid_mask_2d,
+)
+
+
 def init_coolchic_params(
     key: jax.Array,
     cfg: CoolChicConfig,
@@ -116,6 +123,7 @@ def coolchic_forward(
     noise_parameter: jax.Array | float = 1.0,
     ac_max_val: int = -1,
     training: bool = True,
+    valid_hw: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Cool-chic forward pass (reference: coolchic.py:291-479).
 
@@ -131,6 +139,12 @@ def coolchic_forward(
         ac_max_val: if != -1, clamp y_hat to [-ac_max_val, ac_max_val + 1]
             (bitstream writing path).
         training: static flag; False selects the eval quantizer.
+        valid_hw: traced [2] int array (true H, true W) for mixed-size
+            batching: latents outside the valid pyramid are forced to zero
+            (zero-pad semantics of the ARM/refine), their rate masked out,
+            and replicate-padded ops see the replicated valid edge — so the
+            valid-region output equals the unpadded encode's. None = whole
+            buffer is the image (unchanged fast path).
 
     Returns:
         (raw_out [C_out, H, W], rate_bits [n_latents], extras) where extras
@@ -148,7 +162,8 @@ def coolchic_forward(
     )
 
     y_hat: List[jax.Array] = []
-    for latent, sub in zip(params["latents"], keys):
+    grid_masks: List[Optional[jax.Array]] = []
+    for level, (latent, sub) in enumerate(zip(params["latents"], keys)):
         q = quantize(
             latent * cfg.encoder_gain,
             sub,
@@ -159,6 +174,13 @@ def coolchic_forward(
         )
         if ac_max_val != -1:
             q = jnp.clip(q, -ac_max_val, ac_max_val + 1)
+        if valid_hw is not None:
+            hv, wv = level_valid_hw(valid_hw, level)
+            m = valid_mask_2d(q.shape[-2], q.shape[-1], hv, wv, q.dtype)
+            q = q * m
+            grid_masks.append(m)
+        else:
+            grid_masks.append(None)
         y_hat.append(q)
 
     # ----- ARM over all grids at once: one [M, C] x [C, C] matmul chain.
@@ -168,12 +190,24 @@ def coolchic_forward(
     mu, scale, log_scale = arm_apply(params["arm"], flat_context)
     flat_latent = jnp.concatenate([y.reshape(-1) for y in y_hat], axis=0)
     rate = latent_rate_bits(flat_latent, mu, scale)
+    if valid_hw is not None:
+        flat_mask = jnp.concatenate(
+            [
+                jnp.broadcast_to(m, y.shape).reshape(-1)
+                for m, y in zip(grid_masks, y_hat)
+            ]
+        )
+        rate = rate * flat_mask
 
     # ----- Upsample + synthesize.
     dense = upsampling_apply(
-        params["upsampling"], y_hat, cfg.ups_k_size, cfg.ups_preconcat_k_size
+        params["upsampling"], y_hat, cfg.ups_k_size, cfg.ups_preconcat_k_size,
+        valid_hw=valid_hw,
     )
-    raw_out = synthesis_apply(params["synthesis"], dense, cfg.parsed_synthesis_layers())
+    raw_out = synthesis_apply(
+        params["synthesis"], dense, cfg.parsed_synthesis_layers(),
+        valid_hw=valid_hw,
+    )
 
     extras = {"mu": mu, "log_scale": log_scale, "flat_latent": flat_latent}
     return raw_out, rate, extras
@@ -190,6 +224,7 @@ def frame_forward(
     ac_max_val: int = -1,
     training: bool = True,
     bitdepth: int = 8,
+    valid_hw: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Frame-level forward (reference: coolchic/enc/component/frame.py:93-196).
 
@@ -207,6 +242,7 @@ def frame_forward(
         noise_parameter=noise_parameter,
         ac_max_val=ac_max_val,
         training=training,
+        valid_hw=valid_hw,
     )
     decoded = raw_out
     if not training:

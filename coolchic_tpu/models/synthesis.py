@@ -58,17 +58,27 @@ def synthesis_apply(
     params: Dict[str, List[Dict[str, jax.Array]]],
     x: jax.Array,
     parsed_layers: Sequence[Tuple[int, int, bool, bool]],
+    valid_hw=None,
 ) -> jax.Array:
     """Apply the synthesis stack to a dense latent [C_in, H, W].
 
     Each layer: replicate-pad, conv, optional residual add, optional ReLU
     (non-linearity applied after the residual, reference: synthesis.py:69-84,
     255-262).
+
+    valid_hw: traced [2] true (H, W) for mixed-size batching — before every
+    k>1 conv the buffer is replicate-extended at the true image edge so the
+    valid region sees exactly the replicate padding of the unpadded encode
+    (models/masking.py); 1x1 layers are pointwise and need nothing.
     """
     for layer, (out_ft, k_size, residual, relu) in zip(
         params["layers"], parsed_layers
     ):
         pad = (k_size - 1) // 2
+        if pad and valid_hw is not None:
+            from coolchic_tpu.models.masking import replicate_extend
+
+            x = replicate_extend(x, valid_hw[0], valid_hw[1])
         x4 = x[None]  # [1, C, H, W]
         if pad:
             x4 = jnp.pad(x4, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")

@@ -123,12 +123,19 @@ def upsampling_apply(
     latents: Sequence[jax.Array],
     ups_k_size: int,
     ups_preconcat_k_size: int,
+    valid_hw=None,
 ) -> jax.Array:
     """Cascade from the smallest grid up (reference: upsampling.py:476-506).
 
     Args:
         params: output of ``init_upsampling_params``.
         latents: list of [C_i, H_i, W_i] grids, largest first.
+        valid_hw: traced [2] true (H, W) for mixed-size batching — before
+            each replicate-padded x2 step the running tensor is
+            replicate-extended at its level's true edge so the valid region
+            matches the unpadded cascade exactly (models/masking.py). The
+            zero-padded pre-concat filter needs nothing: padded latents are
+            already zero.
 
     Returns:
         Dense [sum(C_i), H_0, W_0] representation (synthesis input).
@@ -140,7 +147,13 @@ def upsampling_apply(
     n_pre = len(params["preconcat"])
     latents_rev = list(reversed(latents))
     acc = latents_rev[0]
+    n = len(latents_rev)
     for idx, target in enumerate(latents_rev[1:]):
+        if valid_hw is not None:
+            from coolchic_tpu.models.masking import level_valid_hw, replicate_extend
+
+            hv, wv = level_valid_hw(valid_hw, n - 1 - idx)
+            acc = replicate_extend(acc, hv, wv)
         x = upsample_x2(acc, params["ups"][idx % n_ups], ups_k_size)
         # Crop to the (ceil-divided) target resolution before concatenation.
         x = x[:, : target.shape[-2], : target.shape[-1]]

@@ -35,6 +35,7 @@ def warmup(
     lmbda: jax.Array | float,
     cfg: CoolChicConfig,
     warmup_cfg: Warmup,
+    valid_hw=None,
 ) -> Params:
     """Multi-candidate initialization competition (reference: warmup.py:22-158).
 
@@ -59,7 +60,9 @@ def warmup(
         n = wp.candidates
         train_keys = jax.random.split(jax.random.fold_in(key, idx_phase + 1), n)
         cand, logs = jax.vmap(
-            lambda p, k: run_phase(p, target, lmbda, k, cfg, wp.training_phase)
+            lambda p, k: run_phase(
+                p, target, lmbda, k, cfg, wp.training_phase, valid_hw=valid_hw
+            )
         )(cand, train_keys)
         losses = logs.loss
 
@@ -80,22 +83,27 @@ def encode_frame(
     lmbda: jax.Array | float,
     cfg: CoolChicConfig,
     preset: Preset,
+    valid_hw=None,
 ) -> EncodeResult:
     """Full single-frame encode: warm-up then every preset phase
     (reference: video.py:205-330). NN post-training quantization hooks in
     after phases flagged ``quantize_model`` (see train/quantize_model.py).
     """
-    params = warmup(key, target, lmbda, cfg, preset.warmup)
+    params = warmup(key, target, lmbda, cfg, preset.warmup, valid_hw=valid_hw)
     logs: Optional[PhaseLogs] = None
     for idx, phase in enumerate(preset.all_phases):
         phase_key = jax.random.fold_in(key, 1000 + idx)
-        params, logs = run_phase(params, target, lmbda, phase_key, cfg, phase)
+        params, logs = run_phase(
+            params, target, lmbda, phase_key, cfg, phase, valid_hw=valid_hw
+        )
         if phase.quantize_model:
-            from coolchic_tpu.train.quantize_model import quantize_model
+            from coolchic_tpu.train.quantize_model import quantize_model_with_info
 
-            params = quantize_model(params, target, lmbda, cfg)
+            params = quantize_model_with_info(
+                params, target, lmbda, cfg, valid_hw=valid_hw
+            )[0]
     if logs is None:
-        m = eval_metrics(params, cfg, target, lmbda)
+        m = eval_metrics(params, cfg, target, lmbda, valid_hw=valid_hw)
         logs = PhaseLogs(m.loss, m.psnr_db, m.rate_latent_bpp)
     return EncodeResult(params, logs.loss, logs.psnr_db, logs.rate_latent_bpp)
 
@@ -136,14 +144,22 @@ def encode_frame_batch(
     lmbdas: jax.Array,
     cfg: CoolChicConfig,
     preset: Preset,
+    valid_hws: Optional[jax.Array] = None,
 ) -> EncodeResult:
-    """Overfit a batch of same-sized images in parallel on one chip.
+    """Overfit a batch of images in parallel on one chip.
 
     Args:
         keys: [B] PRNG keys.
-        targets: [B, C, H, W] images.
+        targets: [B, C, H, W] images (mixed sizes: pad each into the common
+            bucket buffer and pass its true size in ``valid_hws``).
         lmbdas: [B] per-image rate weights (lambda sweeps batch for free).
+        valid_hws: optional [B, 2] true (H, W) per image — enables
+            mixed-size batching with masked loss/rate (models/masking.py).
     """
+    if valid_hws is None:
+        return jax.vmap(
+            lambda k, t, l: encode_frame(k, t, l, cfg, preset)
+        )(keys, targets, lmbdas)
     return jax.vmap(
-        lambda k, t, l: encode_frame(k, t, l, cfg, preset)
-    )(keys, targets, lmbdas)
+        lambda k, t, l, v: encode_frame(k, t, l, cfg, preset, valid_hw=v)
+    )(keys, targets, lmbdas, valid_hws)

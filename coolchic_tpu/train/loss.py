@@ -41,6 +41,7 @@ def loss_function(
     lmbda: float | jax.Array,
     rate_nn_bits: float | jax.Array = 0.0,
     frame_data_type: str = "rgb",
+    valid_hw: jax.Array | None = None,
 ) -> LossOutput:
     """Compute the RD loss for one frame.
 
@@ -53,12 +54,29 @@ def loss_function(
         frame_data_type: "yuv420" weights the MSE 4:1:1 on the subsampled
             chroma grid (reference: loss.py:53-87); anything else is plain
             per-pixel MSE. Must be static under jit.
+        valid_hw: traced [2] (true H, true W) for mixed-size batching: MSE
+            and bpp are computed over the valid region only (the forward
+            already masks the rate of padded latents, models/masking.py).
     """
-    if frame_data_type == "yuv420":
+    if valid_hw is not None:
+        assert frame_data_type == "rgb", (
+            "mixed-size batching is an image-path feature; yuv420 video "
+            "frames share one size"
+        )
+        from coolchic_tpu.models.masking import valid_mask_2d
+
+        m = valid_mask_2d(decoded.shape[-2], decoded.shape[-1],
+                          valid_hw[0], valid_hw[1], decoded.dtype)
+        n_pixels = (valid_hw[0] * valid_hw[1]).astype(decoded.dtype)
+        mse = jnp.sum(((decoded - target) * m) ** 2) / (
+            decoded.shape[0] * n_pixels
+        )
+    elif frame_data_type == "yuv420":
         mse = yuv420_mse(decoded, target)
+        n_pixels = decoded.shape[-2] * decoded.shape[-1]
     else:
         mse = jnp.mean((decoded - target) ** 2)
-    n_pixels = decoded.shape[-2] * decoded.shape[-1]
+        n_pixels = decoded.shape[-2] * decoded.shape[-1]
     rate_latent_bits = jnp.sum(rate_bits)
     rate_bpp = (rate_latent_bits + rate_nn_bits) / n_pixels
     loss = mse + lmbda * rate_bpp

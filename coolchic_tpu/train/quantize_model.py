@@ -127,6 +127,7 @@ def quantize_module(
     cfg: CoolChicConfig,
     other_nn_rate_bits: jax.Array | float,
     map_batch: int = 8,
+    valid_hw=None,
 ) -> Tuple[Params, ModuleQuantInfo]:
     """RD-search the (q_step_w, q_step_b) grid for one module."""
     w_steps = np.asarray(Q_STEPS[module]["weight"], np.float32)
@@ -151,7 +152,7 @@ def quantize_module(
         valid = valid_w & valid_b
 
         trial = _rebuild_module(params, module, qw, qb)
-        decoded, rate, _ = frame_forward(trial, cfg, training=False)
+        decoded, rate, _ = frame_forward(trial, cfg, training=False, valid_hw=valid_hw)
 
         bits_w_all = expgol_bits_all_counts(int_w)
         bits_w, cnt_w = jnp.min(bits_w_all), jnp.argmin(bits_w_all)
@@ -162,7 +163,8 @@ def quantize_module(
             bits_b, cnt_b = jnp.float32(0.0), jnp.int32(0)
 
         nn_bits = bits_w + bits_b + other_nn_rate_bits
-        loss = loss_function(decoded, rate, target, lmbda, nn_bits).loss
+        loss = loss_function(decoded, rate, target, lmbda, nn_bits,
+                             valid_hw=valid_hw).loss
         loss = jnp.where(valid, loss, jnp.inf)
         return loss, bits_w + bits_b, cnt_w.astype(jnp.int32), cnt_b.astype(jnp.int32)
 
@@ -191,6 +193,7 @@ def quantize_model_with_info(
     target: jax.Array,
     lmbda: jax.Array | float,
     cfg: CoolChicConfig,
+    valid_hw=None,
 ) -> Tuple[Params, Dict[str, ModuleQuantInfo]]:
     """Quantize all decoder-side networks greedily (arm -> synthesis ->
     upsampling, sorted order as the reference) and return the quantized
@@ -199,7 +202,7 @@ def quantize_model_with_info(
     other_rate = jnp.float32(0.0)
     for module in MODULES_TO_SEND:
         params, info = quantize_module(
-            params, module, target, lmbda, cfg, other_rate
+            params, module, target, lmbda, cfg, other_rate, valid_hw=valid_hw
         )
         infos[module] = info
         other_rate = other_rate + info.rate_bits

@@ -71,14 +71,16 @@ def grad_mask(params: Params, optimized_module: Tuple[str, ...]) -> Params:
 
 
 def eval_metrics(
-    params: Params, cfg: CoolChicConfig, target: jax.Array, lmbda, rate_nn_bits=0.0
+    params: Params, cfg: CoolChicConfig, target: jax.Array, lmbda, rate_nn_bits=0.0,
+    valid_hw=None,
 ) -> LossOutput:
     """Eval-mode test: hardround quantizer, no noise, bitdepth rounding
     (reference: enc/training/test.py:369-438)."""
-    decoded, rate, _ = frame_forward(params, cfg, training=False)
+    decoded, rate, _ = frame_forward(params, cfg, training=False, valid_hw=valid_hw)
     return loss_function(
         decoded, rate, target, lmbda, rate_nn_bits,
         frame_data_type=cfg.frame_data_type,
+        valid_hw=valid_hw,
     )
 
 
@@ -150,7 +152,8 @@ def make_optimizer():
     )
 
 
-def make_train_step(cfg: CoolChicConfig, phase: TrainerPhase, remat: bool = True):
+def make_train_step(cfg: CoolChicConfig, phase: TrainerPhase, remat: bool = True,
+                    valid_hw=None):
     """Build (tx, step_fn) for one phase. ``step_fn`` performs a single
     gradient step and is the unit the multi-chip path shards over images.
 
@@ -170,6 +173,7 @@ def make_train_step(cfg: CoolChicConfig, phase: TrainerPhase, remat: bool = True
             soft_round_temperature=temp,
             noise_parameter=noise,
             training=True,
+            valid_hw=valid_hw,
         )
 
     fwd = jax.checkpoint(_forward) if remat else _forward
@@ -177,7 +181,8 @@ def make_train_step(cfg: CoolChicConfig, phase: TrainerPhase, remat: bool = True
     def loss_fn(p, target, lmbda, step_key, temp, noise):
         decoded, rate, _ = fwd(p, step_key, temp, noise)
         return loss_function(
-            decoded, rate, target, lmbda, frame_data_type=cfg.frame_data_type
+            decoded, rate, target, lmbda, frame_data_type=cfg.frame_data_type,
+            valid_hw=valid_hw,
         ).loss
 
     def step_fn(params, opt_state, target, lmbda, step_key, lr, temp, noise, mask):
@@ -201,12 +206,13 @@ def _phase_geometry(phase: TrainerPhase) -> Tuple[int, int, int, float]:
     return freq, n_full_blocks, rem, n_blocks_sched
 
 
-def _make_run_block(cfg: CoolChicConfig, phase: TrainerPhase, target, lmbda, mask):
+def _make_run_block(cfg: CoolChicConfig, phase: TrainerPhase, target, lmbda, mask,
+                    valid_hw=None):
     """Build the per-validation-block body shared by the monolithic and the
     segmented phase runners. ``block_idx`` may be a traced scalar, so one
     compilation serves every segment position."""
     freq, _, _, n_blocks_sched = _phase_geometry(phase)
-    tx, step_fn = make_train_step(cfg, phase)
+    tx, step_fn = make_train_step(cfg, phase, valid_hw=valid_hw)
 
     def run_block(state: PhaseState, block_idx: jax.Array, n_steps: int) -> PhaseState:
         """n_steps gradient steps then one validation."""
@@ -253,7 +259,7 @@ def _make_run_block(cfg: CoolChicConfig, phase: TrainerPhase, target, lmbda, mas
         new_opt = _tree_select(active, new_opt, opt_in)
 
         # ---- validation (eval-mode test) + record keeping.
-        m = eval_metrics(new_params, cfg, target, lmbda)
+        m = eval_metrics(new_params, cfg, target, lmbda, valid_hw=valid_hw)
         is_better = m.loss < state.best_loss
         significant = ((m.rate_latent_bpp - state.best_bpp) < 0.001) | (
             (m.psnr_db - state.best_psnr) > 0.001
@@ -285,11 +291,12 @@ def init_phase_state(
     key: jax.Array,
     cfg: CoolChicConfig,
     phase: TrainerPhase,
+    valid_hw=None,
 ) -> PhaseState:
     """Initial phase carry: current params are the record to beat
     (reference: train.py:153-157)."""
     tx = make_optimizer()
-    m0 = eval_metrics(params, cfg, target, lmbda)
+    m0 = eval_metrics(params, cfg, target, lmbda, valid_hw=valid_hw)
     opt_state0 = tx.init(params)
     return PhaseState(
         params=params,
@@ -314,6 +321,7 @@ def run_phase_blocks(
     cfg: CoolChicConfig,
     phase: TrainerPhase,
     n_blocks: int,
+    valid_hw=None,
 ) -> PhaseState:
     """Run ``n_blocks`` full validation blocks starting at (traced)
     ``block_start``. Segmenting a phase into consecutive run_phase_blocks
@@ -325,7 +333,7 @@ def run_phase_blocks(
     long-running programs; see scripts/kodak_rd_sweep.py)."""
     freq, _, _, _ = _phase_geometry(phase)
     mask = grad_mask(state.params, phase.optimized_module)
-    run_block = _make_run_block(cfg, phase, target, lmbda, mask)
+    run_block = _make_run_block(cfg, phase, target, lmbda, mask, valid_hw)
 
     def scan_body(s, block_idx):
         return run_block(s, block_idx, freq), None
@@ -345,10 +353,11 @@ def run_phase_rem_block(
     cfg: CoolChicConfig,
     phase: TrainerPhase,
     n_steps: int,
+    valid_hw=None,
 ) -> PhaseState:
     """The final partial block when max_itr % freq_valid != 0."""
     mask = grad_mask(state.params, phase.optimized_module)
-    run_block = _make_run_block(cfg, phase, target, lmbda, mask)
+    run_block = _make_run_block(cfg, phase, target, lmbda, mask, valid_hw)
     return run_block(state, block_idx, n_steps)
 
 
@@ -370,6 +379,7 @@ def run_phase(
     key: jax.Array,
     cfg: CoolChicConfig,
     phase: TrainerPhase,
+    valid_hw=None,
 ) -> Tuple[Params, PhaseLogs]:
     """Train ``params`` on ``target`` for one phase; return the best params
     seen (eval-mode loss) and their metrics.
@@ -381,15 +391,17 @@ def run_phase(
         key: PRNG key (quantization noise).
         cfg: static model architecture.
         phase: static phase description.
+        valid_hw: traced [2] true (H, W) for mixed-size batching (None =
+            the whole buffer is the image).
     """
     freq, n_full_blocks, rem, _ = _phase_geometry(phase)
-    state = init_phase_state(params, target, lmbda, key, cfg, phase)
+    state = init_phase_state(params, target, lmbda, key, cfg, phase, valid_hw)
     # freq = min(freq_valid, max_itr) guarantees n_full_blocks >= 1.
     state = run_phase_blocks(
-        state, target, lmbda, jnp.int32(0), cfg, phase, n_full_blocks
+        state, target, lmbda, jnp.int32(0), cfg, phase, n_full_blocks, valid_hw
     )
     if rem:
         state = run_phase_rem_block(
-            state, target, lmbda, jnp.int32(n_full_blocks), cfg, phase, rem
+            state, target, lmbda, jnp.int32(n_full_blocks), cfg, phase, rem, valid_hw
         )
     return finish_phase(state)
