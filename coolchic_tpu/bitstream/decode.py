@@ -44,18 +44,33 @@ def cfg_from_headers(gop: GopHeader, fh: FrameHeader) -> CoolChicConfig:
     )
 
 
-def decode_bitstream(data: bytes, integer_pipeline: bool = False) -> Tuple[np.ndarray, Dict]:
+def decode_bitstream(
+    data: bytes, integer_pipeline: bool = False, full_info: bool = False
+) -> Tuple[np.ndarray, Dict]:
     """Decode a single-image bitstream.
 
     Args:
-        integer_pipeline: True runs the fixed-point int32 upsampling +
-            synthesis (C++ backend, platform-deterministic like the
-            reference decoder); False runs the float reference math.
+        integer_pipeline: True runs the fixed-point int32 pipeline
+            (platform-deterministic like the reference decoder). The whole
+            frame then decodes in ONE C call — header parse, NN decode, ARM,
+            integer ups/syn (cpp/frame_decoder.cpp; reference:
+            cc-frame-decoder.cpp:1152-1168) — unless ``full_info`` or an
+            uncovered configuration forces the python-orchestrated path.
+        full_info: return the parsed params and latents in the info dict
+            (python-orchestrated decode; slower).
 
     Returns:
         (decoded image [C, H, W] float in [0, 1], info dict with the parsed
-        headers, params and decoded latents).
+        headers; plus params and decoded latents on the python path).
     """
+    if integer_pipeline and not full_info:
+        from coolchic_tpu.bitstream.entropy import decode_image_cc
+
+        fast = decode_image_cc(data)
+        if fast is not None:
+            img, cinfo = fast
+            info = {"gop_header": read_gop_header(data), "timings": cinfo["timings"]}
+            return img, info
     gop = read_gop_header(data)
     img, info, _ = _decode_frame(
         data, gop.n_bytes_header, gop, integer_pipeline=integer_pipeline

@@ -18,8 +18,11 @@ _CPP_DIR = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "cpp")
 )
 _LIB_PATH = os.path.join(_CPP_DIR, "libccz.so")
-_SOURCES = ["entropy_api.cpp", "arm_decode.cpp", "ups_syn_int.cpp"]
+_SOURCES = ["entropy_api.cpp", "arm_decode.cpp", "ups_syn_int.cpp",
+            "frame_decoder.cpp"]
 _HEADERS = ["cabac.hpp", "gen_contexts.inc"]
+_BIN_SOURCES = _SOURCES + ["ccdec_main.cpp"]
+_BIN_PATH = os.path.join(_CPP_DIR, "ccdec")
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -65,6 +68,25 @@ def build_library() -> str:
     with open(_HASH_PATH, "w") as f:
         f.write(_source_hash())
     return _LIB_PATH
+
+
+def build_decoder_binary(force: bool = False) -> str:
+    """Build the standalone ``ccdec`` decoder executable
+    (reference: coolchic/cpp/CMakeLists.txt ccdec target)."""
+    if not force and os.path.exists(_BIN_PATH) and not _needs_build():
+        return _BIN_PATH
+    inc = os.path.join(_CPP_DIR, "gen_contexts.inc")
+    if not os.path.exists(inc):
+        from coolchic_tpu.bitstream.contexts import emit_inc_file
+
+        emit_inc_file(inc)
+    cmd = (
+        ["g++", "-O3", "-march=native", "-std=c++17"]
+        + [os.path.join(_CPP_DIR, s) for s in _BIN_SOURCES]
+        + ["-o", _BIN_PATH]
+    )
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _BIN_PATH
 
 
 def _load() -> ctypes.CDLL:
@@ -131,6 +153,12 @@ def _load() -> ctypes.CDLL:
         i32p, i32p,  # ctx offsets dy, dx
         ctypes.c_int, ctypes.c_int, ctypes.c_int,  # h, w, blk
         i32p,  # out
+    ]
+    lib.ccz_probe_bitstream.restype = ctypes.c_int
+    lib.ccz_probe_bitstream.argtypes = [u8p, ctypes.c_int, i32p]
+    lib.ccz_decode_image.restype = ctypes.c_int
+    lib.ccz_decode_image.argtypes = [
+        u8p, ctypes.c_int, i32p, ctypes.POINTER(ctypes.c_double),
     ]
     _lib = lib
     return lib
@@ -268,6 +296,59 @@ def ups_syn_int(
         _i32p(out),
     )
     return out.reshape(out_ft, heights[0], widths[0])
+
+
+def probe_bitstream(data: bytes) -> Optional[dict]:
+    """Parse headers without decoding: dict with img_size / c_out / bitdepth /
+    frame_data_type / n_frames, or None if the C parser rejects the stream."""
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8).copy()
+    info = np.zeros(6, np.int32)
+    rc = lib.ccz_probe_bitstream(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf), _i32p(info)
+    )
+    if rc != 0:
+        return None
+    return {
+        "img_size": (int(info[0]), int(info[1])),
+        "c_out": int(info[2]),
+        "bitdepth": int(info[3]),
+        "frame_data_type": ["rgb", "yuv420", "yuv444"][int(info[4])],
+        "n_frames": int(info[5]),
+    }
+
+
+def decode_image_cc(data: bytes) -> Optional[Tuple[np.ndarray, dict]]:
+    """Whole-frame decode in one C call (header parse -> NN decode -> ARM ->
+    integer ups/syn -> bitdepth rounding), the no-Python-overhead fast path
+    (reference: cpp/cc-frame-decoder.cpp:1152-1168 decode_frame).
+
+    Returns ([c, H, W] float image in [0, 1], info with headers/timings), or
+    None when the stream uses a configuration the C path doesn't cover
+    (n_ft_per_res != 1, unknown dim_arm) — callers fall back to
+    decode_bitstream.
+    """
+    info = probe_bitstream(data)
+    if info is None or info["frame_data_type"] != "rgb" or info["n_frames"] != 1:
+        return None
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8).copy()
+    h, w = info["img_size"]
+    out = np.empty(info["c_out"] * h * w, np.int32)
+    times = (ctypes.c_double * 4)()
+    rc = lib.ccz_decode_image(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        _i32p(out), times,
+    )
+    if rc < 0:
+        return None
+    max_dyn = 2.0 ** info["bitdepth"] - 1.0
+    img = out.reshape(info["c_out"], h, w).astype(np.float32) / max_dyn
+    info["timings"] = {
+        "nn_sec": times[0], "arm_sec": times[1], "ups_syn_sec": times[2],
+        "total_sec": times[3],
+    }
+    return img, info
 
 
 def decode_latent_layer(data: bytes, mus, log_scales, h: int, w: int, blk: int = 16) -> np.ndarray:

@@ -1,0 +1,391 @@
+// Whole-frame bitstream decoder: one C ABI call from header bytes to the
+// reconstructed image, no Python in the loop
+// (reference: coolchic/cpp/cc-frame-decoder.cpp:1152-1168 decode_frame and
+//  coolchic/cpp/cc-bitstream.cpp header parsing; byte layout mirrored from
+//  coolchic_tpu/bitstream/header.py which matches the reference
+//  enc/bitstream/header.py:10-467).
+//
+// All NN weights are reconstructed directly in fixed point from the decoded
+// integer symbols — every q-step in the format is a power of two
+// (reference: enc/utils/misc.py:111-130), so
+//     weight_fp<F> = symbol << q_step_index
+// holds exactly for ARM (8 frac bits), upsampling/synthesis kernels
+// (12 frac bits) and biases (ARM 16, synthesis 24): no float round-trip.
+//
+// Compiled into libccz.so together with entropy_api.cpp / arm_decode.cpp /
+// ups_syn_int.cpp, and into the standalone `ccdec` binary (ccdec_main.cpp).
+
+#include <chrono>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "cabac.hpp"
+
+// Siblings in the same library (arm_decode.cpp, ups_syn_int.cpp).
+extern "C" void ccz_decode_arm_latent_layer(
+    const uint8_t* data, int len, const int32_t* weights, const int32_t* biases,
+    int dim_arm, int n_hidden, const int32_t* ctx_dy, const int32_t* ctx_dx,
+    int h, int w, int blk, int32_t* out);
+extern "C" void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
+                                const int32_t* widths, int n_res, int ups_k_size,
+                                int pre_k_size, const int32_t* ups_kernels,
+                                const int32_t* pre_kernels, const int32_t* syn_w,
+                                const int32_t* syn_b, const int32_t* syn_desc,
+                                int n_syn_layers, int32_t* out);
+
+namespace {
+
+constexpr int MASK_SIZE = 9;  // ARM context window (format constant)
+
+// Causal-context stencils inside the flattened 9x9 window, per dim_arm
+// (format constants; reference: enc/component/core/arm.py:398-501,
+// coolchic_tpu/models/arm.py NON_ZERO_PIXEL_CTX_INDEX).
+const int kCtx8[] = {13, 22, 30, 31, 32, 37, 38, 39};
+const int kCtx16[] = {13, 14, 20, 21, 22, 23, 24, 28,
+                      29, 30, 31, 32, 33, 37, 38, 39};
+const int kCtx24[] = {4,  11, 12, 13, 14, 15, 19, 20, 21, 22, 23, 24,
+                      25, 28, 29, 30, 31, 32, 33, 34, 36, 37, 38, 39};
+const int kCtx32[] = {2,  3,  4,  5,  10, 11, 12, 13, 14, 15, 16, 19, 20, 21,
+                      22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
+                      36, 37, 38, 39};
+
+const int* ctx_table(int dim_arm) {
+  switch (dim_arm) {
+    case 8: return kCtx8;
+    case 16: return kCtx16;
+    case 24: return kCtx24;
+    case 32: return kCtx32;
+    default: return nullptr;
+  }
+}
+
+// ------------------------------------------------------------------ parsing
+
+struct Reader {
+  const uint8_t* p;
+  const uint8_t* end;
+  bool ok = true;
+  uint32_t u(int n) {
+    if (p + n > end) { ok = false; return 0; }
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 8) | *p++;
+    return v;
+  }
+  int8_t s8() { return (int8_t)u(1); }
+};
+
+struct GopHeader {
+  int n_bytes_header, img_h, img_w, bitdepth, frame_data_type;
+  int intra_period, p_period;
+};
+
+// reference: header.py write_gop_header (9 bytes)
+bool read_gop_header(Reader& r, GopHeader& g) {
+  static const int kBitdepths[] = {8, 9, 10, 11, 12, 13, 14, 15, 16};
+  g.n_bytes_header = r.u(2);
+  g.img_h = r.u(2);
+  g.img_w = r.u(2);
+  uint32_t raw = r.u(1);
+  if ((raw >> 4) > 8) return false;
+  g.bitdepth = kBitdepths[raw >> 4];
+  g.frame_data_type = raw & 0xF;  // 0 rgb, 1 yuv420, 2 yuv444
+  g.intra_period = r.u(1);
+  g.p_period = r.u(1);
+  return r.ok && g.n_bytes_header == 9;
+}
+
+constexpr int MAX_SYN_LAYERS = 16;
+constexpr int MAX_GRIDS = 16;
+
+struct FrameHeader {
+  int n_bytes_header;
+  int display_index;
+  int dim_arm, n_hidden_layers_arm;
+  int latent_n_grids, ups_k_size, ups_preconcat_k_size;
+  int n_syn_layers;
+  int syn_desc[MAX_SYN_LAYERS][4];  // out_ft, ks, residual, relu
+  int flow_gain;
+  int ac_max_val_nn, ac_max_val_latent;
+  int hls_sig_blksize;
+  int q_step_idx[3][2];  // [arm, ups, syn] x [w, b]
+  int scale_idx[3][2];
+  int n_bytes_nn[3][2];
+  int n_ft_per_latent[MAX_GRIDS];
+  int n_2d_grids;
+  int n_bytes_per_latent[MAX_GRIDS * 4];
+};
+
+// reference: header.py write_frame_header / read_frame_header
+bool read_frame_header(Reader& r, FrameHeader& f) {
+  const uint8_t* start = r.p;
+  f.n_bytes_header = r.u(2);
+  f.display_index = r.u(1);
+  uint32_t raw = r.u(1);
+  f.dim_arm = (raw >> 4) * 8;
+  f.n_hidden_layers_arm = raw & 0xF;
+  raw = r.u(1);
+  f.latent_n_grids = (raw >> 4) + 1;
+  f.ups_k_size = raw & 0xF;
+  raw = r.u(1);
+  f.ups_preconcat_k_size = raw & 0xF;
+  r.u(1);  // legacy n_synth_branch
+  f.n_syn_layers = r.u(1);
+  if (f.n_syn_layers > MAX_SYN_LAYERS || f.latent_n_grids > MAX_GRIDS)
+    return false;
+  for (int i = 0; i < f.n_syn_layers; i++) {
+    f.syn_desc[i][0] = r.u(1);           // out_ft
+    f.syn_desc[i][1] = r.u(1);           // k_size
+    raw = r.u(1);
+    f.syn_desc[i][2] = (raw >> 4) != 0;  // residual mode
+    f.syn_desc[i][3] = (raw & 0xF) != 0; // relu
+  }
+  f.flow_gain = r.u(1);
+  f.ac_max_val_nn = r.u(2);
+  f.ac_max_val_latent = r.u(2);
+  f.hls_sig_blksize = r.s8();
+  for (int m = 0; m < 3; m++)
+    for (int k = 0; k < 2; k++) f.q_step_idx[m][k] = r.u(1);
+  for (int m = 0; m < 3; m++)
+    for (int k = 0; k < 2; k++) f.scale_idx[m][k] = r.u(1);
+  for (int m = 0; m < 3; m++)
+    for (int k = 0; k < 2; k++) f.n_bytes_nn[m][k] = r.u(2);
+  int n_res = r.u(1);
+  f.n_2d_grids = r.u(1);
+  if (n_res != f.latent_n_grids || f.n_2d_grids > MAX_GRIDS * 4) return false;
+  for (int i = 0; i < n_res; i++) f.n_ft_per_latent[i] = r.u(1);
+  for (int i = 0; i < f.n_2d_grids; i++) f.n_bytes_per_latent[i] = r.u(3);
+  return r.ok && (r.p - start) == f.n_bytes_header;
+}
+
+// --------------------------------------------------------------- NN decode
+
+// Streaming exp-Golomb+sign symbol decoder (same coding as
+// entropy_api.cpp ccz_wb_decoder_continue; reference: ccencapi.cpp
+// cc_decode_wb).
+struct WbStream {
+  ccz::Decoder dec;
+  WbStream(const uint8_t* p, int len) : dec(p, len) {}
+  void read(int n, int count, int shift, int32_t* out) {
+    for (int i = 0; i < n; i++) {
+      int32_t v = dec.decode_exgolomb(count);
+      if (v != 0 && dec.decode_bin_ep() != 0) v = -v;
+      out[i] = v << shift;  // power-of-two dequantization to fixed point
+    }
+  }
+};
+
+struct StageTimes {
+  double nn = 0, arm = 0, ups_syn = 0;
+};
+
+using clk = std::chrono::steady_clock;
+double secs_since(clk::time_point t0) {
+  return std::chrono::duration<double>(clk::now() - t0).count();
+}
+
+// Decode one frame payload starting at `ptr`; advances `ptr` past it.
+// Returns 12-frac-bit synthesis output planes in `out` ([c_out, H, W]).
+// Only the intra tool-set is implemented (inter frames handled by the
+// caller via warp/bpred on the decoded residue, ccz_warp / ccz_bpred).
+int decode_frame_payload(const uint8_t* data, size_t len, size_t& ptr,
+                         const GopHeader& gop, FrameHeader& fh,
+                         std::vector<int32_t>& out, StageTimes& times) {
+  Reader r{data + ptr, data + len};
+  if (!read_frame_header(r, fh)) return -2;
+  ptr += fh.n_bytes_header;
+
+  if (!ctx_table(fh.dim_arm)) return -3;
+  // The fixed-point ups/syn path runs one feature per resolution (the
+  // format's standard configuration; ccz_ups_syn_int contract).
+  for (int i = 0; i < fh.latent_n_grids; i++)
+    if (fh.n_ft_per_latent[i] != 1) return -4;
+  if (fh.n_2d_grids != fh.latent_n_grids) return -4;
+
+  auto t0 = clk::now();
+
+  // ----- NN streams (arm w/b, ups w/b, syn w/b in order).
+  const uint8_t* nn_ptr[3][2];
+  for (int m = 0; m < 3; m++)
+    for (int k = 0; k < 2; k++) {
+      nn_ptr[m][k] = data + ptr;
+      ptr += fh.n_bytes_nn[m][k];
+      if (ptr > len) return -5;
+    }
+
+  const int C = fh.dim_arm, NH = fh.n_hidden_layers_arm;
+
+  // ARM: hidden layers then 2-wide head, row-major [out][in]; weights at
+  // 8 frac bits (<< q_idx_w), biases at 16 (<< q_idx_b)
+  // (reference: cc-frame-decoder.cpp read_arm; armint.py FPFB).
+  std::vector<int32_t> arm_w(NH * C * C + 2 * C), arm_b(NH * C + 2);
+  {
+    WbStream ws(nn_ptr[0][0], fh.n_bytes_nn[0][0]);
+    WbStream bs(nn_ptr[0][1], fh.n_bytes_nn[0][1]);
+    int32_t* wp = arm_w.data();
+    int32_t* bp = arm_b.data();
+    for (int l = 0; l < NH; l++) {
+      ws.read(C * C, fh.scale_idx[0][0], fh.q_step_idx[0][0], wp);
+      wp += C * C;
+      bs.read(C, fh.scale_idx[0][1], fh.q_step_idx[0][1], bp);
+      bp += C;
+    }
+    ws.read(2 * C, fh.scale_idx[0][0], fh.q_step_idx[0][0], wp);
+    bs.read(2, fh.scale_idx[0][1], fh.q_step_idx[0][1], bp);
+  }
+
+  // Upsampling: n-1 half x2 kernels then n-1 half pre-concat kernels,
+  // mirrored to full kernels at 12 frac bits
+  // (reference: cc-frame-decoder.cpp:188-199 decode_upsweights_qi).
+  int n_ups = fh.latent_n_grids - 1;
+  int half_u = (fh.ups_k_size + 1) / 2, half_p = (fh.ups_preconcat_k_size + 1) / 2;
+  std::vector<int32_t> ups_k(n_ups * fh.ups_k_size),
+      pre_k(n_ups * fh.ups_preconcat_k_size);
+  {
+    WbStream ws(nn_ptr[1][0], fh.n_bytes_nn[1][0]);
+    std::vector<int32_t> half(std::max(half_u, half_p));
+    auto mirror = [&](int k_size, int n_half, int32_t* full) {
+      ws.read(n_half, fh.scale_idx[1][0], fh.q_step_idx[1][0], half.data());
+      for (int i = 0; i < n_half; i++) full[i] = half[i];
+      for (int i = n_half; i < k_size; i++) full[i] = half[k_size - 1 - i];
+    };
+    for (int g = 0; g < n_ups; g++)
+      mirror(fh.ups_k_size, half_u, &ups_k[g * fh.ups_k_size]);
+    for (int g = 0; g < n_ups; g++)
+      mirror(fh.ups_preconcat_k_size, half_p, &pre_k[g * fh.ups_preconcat_k_size]);
+  }
+
+  // Synthesis: per layer OIHW weights (12 frac) + biases (24 frac).
+  std::vector<int32_t> syn_w, syn_b;
+  {
+    WbStream ws(nn_ptr[2][0], fh.n_bytes_nn[2][0]);
+    WbStream bs(nn_ptr[2][1], fh.n_bytes_nn[2][1]);
+    int in_ft = fh.latent_n_grids;
+    size_t nw = 0, nb = 0;
+    int in_run = in_ft;
+    for (int l = 0; l < fh.n_syn_layers; l++) {
+      nw += (size_t)fh.syn_desc[l][0] * in_run * fh.syn_desc[l][1] * fh.syn_desc[l][1];
+      nb += fh.syn_desc[l][0];
+      in_run = fh.syn_desc[l][0];
+    }
+    syn_w.resize(nw);
+    syn_b.resize(nb);
+    ws.read((int)nw, fh.scale_idx[2][0], fh.q_step_idx[2][0], syn_w.data());
+    bs.read((int)nb, fh.scale_idx[2][1], fh.q_step_idx[2][1], syn_b.data());
+  }
+  times.nn += secs_since(t0);
+
+  // ----- Latent grids: sequential autoregressive ARM decode.
+  t0 = clk::now();
+  const int* tab = ctx_table(C);
+  int32_t ctx_dy[32], ctx_dx[32];
+  for (int i = 0; i < C; i++) {
+    ctx_dy[i] = tab[i] / MASK_SIZE;
+    ctx_dx[i] = tab[i] % MASK_SIZE;
+  }
+  std::vector<int32_t> latents;
+  std::vector<int32_t> heights(fh.latent_n_grids), widths(fh.latent_n_grids);
+  size_t total = 0;
+  for (int g = 0; g < fh.latent_n_grids; g++) {
+    heights[g] = (gop.img_h + (1 << g) - 1) >> g;
+    widths[g] = (gop.img_w + (1 << g) - 1) >> g;
+    total += (size_t)heights[g] * widths[g];
+  }
+  latents.resize(total);
+  {
+    int32_t* lp = latents.data();
+    for (int g = 0; g < fh.latent_n_grids; g++) {
+      int n = fh.n_bytes_per_latent[g];
+      if (ptr + n > len) return -5;
+      if (n == 0) {
+        std::memset(lp, 0, sizeof(int32_t) * heights[g] * widths[g]);
+      } else {
+        ccz_decode_arm_latent_layer(data + ptr, n, arm_w.data(), arm_b.data(),
+                                    C, NH, ctx_dy, ctx_dx, heights[g],
+                                    widths[g], fh.hls_sig_blksize, lp);
+      }
+      ptr += n;
+      lp += (size_t)heights[g] * widths[g];
+    }
+  }
+  times.arm += secs_since(t0);
+
+  // ----- Fixed-point upsample + synthesize.
+  t0 = clk::now();
+  int c_out = fh.syn_desc[fh.n_syn_layers - 1][0];
+  out.resize((size_t)c_out * gop.img_h * gop.img_w);
+  int32_t desc_flat[MAX_SYN_LAYERS * 4];
+  for (int l = 0; l < fh.n_syn_layers; l++)
+    for (int k = 0; k < 4; k++) desc_flat[l * 4 + k] = fh.syn_desc[l][k];
+  ccz_ups_syn_int(latents.data(), heights.data(), widths.data(),
+                  fh.latent_n_grids, fh.ups_k_size, fh.ups_preconcat_k_size,
+                  ups_k.data(), pre_k.data(), syn_w.data(), syn_b.data(),
+                  desc_flat, fh.n_syn_layers, out.data());
+  times.ups_syn += secs_since(t0);
+  return c_out;
+}
+
+// round-half-even of (v / 2^12), matching numpy's np.round in the python
+// integer pipeline (decode.py: clip(round(raw * max_dyn))).
+inline int32_t round_q12_half_even(int64_t v) {
+  int64_t q = v >> 12;  // floor
+  int64_t rem = v - (q << 12);
+  if (rem > 2048 || (rem == 2048 && (q & 1))) q++;
+  return (int32_t)q;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse the stream headers: out_info = {img_h, img_w, c_out, bitdepth,
+// frame_data_type, n_frames}. Returns 0 on success.
+int ccz_probe_bitstream(const uint8_t* data, int len, int32_t* out_info) {
+  Reader r{data, data + len};
+  GopHeader gop;
+  if (!read_gop_header(r, gop)) return -1;
+  FrameHeader fh;
+  Reader r2{data + gop.n_bytes_header, data + len};
+  if (!read_frame_header(r2, fh)) return -2;
+  out_info[0] = gop.img_h;
+  out_info[1] = gop.img_w;
+  out_info[2] = fh.syn_desc[fh.n_syn_layers - 1][0];
+  out_info[3] = gop.bitdepth;
+  out_info[4] = gop.frame_data_type;
+  out_info[5] = gop.intra_period > 0 ? gop.intra_period + 1 : 1;
+  return 0;
+}
+
+// Decode a single-image bitstream to integer samples in [0, 2^bitdepth-1],
+// written as int32 [c_out, H, W]. `timings` (optional, 4 doubles) receives
+// {nn_parse, arm, ups_syn, total} seconds. Returns c_out, or <0 on error
+// (the caller falls back to the python pipeline).
+int ccz_decode_image(const uint8_t* data, int len, int32_t* out_img,
+                     double* timings) {
+  auto t_all = clk::now();
+  Reader r{data, data + len};
+  GopHeader gop;
+  if (!read_gop_header(r, gop)) return -1;
+  size_t ptr = gop.n_bytes_header;
+  FrameHeader fh;
+  StageTimes times;
+  std::vector<int32_t> raw12;
+  int c_out = decode_frame_payload(data, len, ptr, gop, fh, raw12, times);
+  if (c_out < 0) return c_out;
+
+  const int64_t max_dyn = (1ll << gop.bitdepth) - 1;
+  const size_t n = raw12.size();
+  for (size_t i = 0; i < n; i++) {
+    int32_t v = round_q12_half_even((int64_t)raw12[i] * max_dyn);
+    out_img[i] = v < 0 ? 0 : (v > max_dyn ? (int32_t)max_dyn : v);
+  }
+  if (timings) {
+    timings[0] = times.nn;
+    timings[1] = times.arm;
+    timings[2] = times.ups_syn;
+    timings[3] = secs_since(t_all);
+  }
+  return c_out;
+}
+
+}  // extern "C"
