@@ -79,19 +79,94 @@ def decode_bitstream(
 
 
 def decode_video_bitstream(data: bytes) -> Tuple[list, Dict]:
-    """Decode a multi-frame bitstream: GOP header followed by intra_period+1
-    frame payloads (reference: cpp/ccdecapi.cpp:673-700). Frames are stored
-    in coding order in the stream; the returned list is in display order."""
+    """Decode a multi-frame bitstream with the reference decoder's exact
+    integer pipeline (reference: cpp/ccdecapi.cpp:673-840):
+
+      * frames arrive in coding order; the first is intra, later frames
+        with 6/9 synthesis channels are motion-compensated (P: warp, B:
+        warp x2 + bpred; bitstream/inter.py) against previously decoded
+        frames found by display-index search. 3-channel later frames are
+        treated as intra (this decoder's all-intra extension; the
+        reference decoder has no such streams).
+      * every output frame goes through the bitdepth quantization (and the
+        420 chroma subsample for yuv420 content) BEFORE being stored as a
+        reference, exactly like the reference
+        (convert_444_420* / store_444*, ccdecapi.cpp:131-375).
+
+    Returns ([display-ordered [3, H, W] float frames in [0, 1]], info).
+    For yuv420 content the chroma planes of the returned 444 frames are
+    the decoded subsamples expanded 2x2, so a nearest 444->420 conversion
+    reproduces the decoded bytes exactly.
+    """
+    from coolchic_tpu.bitstream.inter import HALF, PREC, process_inter_int
+
     gop = read_gop_header(data)
     n_frames = gop.intra_period + 1 if gop.intra_period > 0 else 1
     ptr = gop.n_bytes_header
-    by_display = {}
+    max_dyn = (1 << gop.bitdepth) - 1
+
+    stored: Dict[int, np.ndarray] = {}  # display idx -> [3, H, W] 12-frac ref
+    out_by_display: Dict[int, np.ndarray] = {}
     info = None
-    for _ in range(n_frames):
-        img, info, ptr = _decode_frame(data, ptr, gop)
-        by_display[info["frame_header"].display_index] = img
-    frames = [by_display[k] for k in sorted(by_display)]
+    for coding_idx in range(n_frames):
+        raw12, frame_info, ptr = _decode_frame_raw12(data, ptr, gop)
+        info = frame_info
+        fh = frame_info["frame_header"]
+        c = raw12.shape[0]
+        if coding_idx == 0 or c == 3:
+            f444 = raw12[:3]
+        else:
+            ref_prev = next(
+                (stored[i] for i in range(fh.display_index - 1, -1, -1)
+                 if i in stored),
+                None,
+            )
+            ref_next = None
+            if c == 9:
+                ref_next = next(
+                    (stored[i] for i in
+                     range(fh.display_index + 1, gop.intra_period + 1)
+                     if i in stored),
+                    None,
+                )
+            f444 = process_inter_int(raw12, ref_prev, ref_next, fh.flow_gain)
+
+        # Output quantization, then re-expansion into the stored reference
+        # (reference: get_raw_444_* / convert_444_420_* + store_444_* /
+        # convert_420_444_*).
+        vq = np.clip(
+            (f444.astype(np.int64) * max_dyn + HALF) >> PREC, 0, max_dyn
+        )
+        if gop.frame_data_type == "yuv420":
+            u = np.repeat(np.repeat(vq[1, ::2, ::2], 2, 0), 2, 1)
+            v = np.repeat(np.repeat(vq[2, ::2, ::2], 2, 0), 2, 1)
+            vq = np.stack([vq[0], u, v])
+        stored[fh.display_index] = (vq.astype(np.int64) << PREC) // max_dyn
+        out_by_display[fh.display_index] = (
+            vq.astype(np.float32) / np.float32(max_dyn)
+        )
+    frames = [out_by_display[k] for k in sorted(out_by_display)]
     return frames, {"gop_header": gop, "last_frame_info": info}
+
+
+def _decode_frame_raw12(
+    data: bytes, ptr: int, gop: GopHeader
+) -> Tuple[np.ndarray, Dict, int]:
+    """Integer decode of one frame payload to the raw synthesis output at
+    12 fractional bits ([c_out, H, W] int64; c_out = 3/6/9 for I/P/B)."""
+    fh = read_frame_header(data[ptr:])
+    ptr += fh.n_bytes_header
+    cfg = cfg_from_headers(gop, fh)
+    params, latents, ptr = _decode_frame_payload(data, ptr, fh, cfg)
+    raw_int = _ups_syn_integer(params, latents, cfg)
+    info = {
+        "gop_header": gop,
+        "frame_header": fh,
+        "cfg": cfg,
+        "params": params,
+        "latents": latents,
+    }
+    return raw_int.astype(np.int64), info, ptr
 
 
 def _decode_frame(
@@ -101,44 +176,11 @@ def _decode_frame(
     ptr += fh.n_bytes_header
     cfg = cfg_from_headers(gop, fh)
 
-    # ----- NN streams.
-    streams = {m: {} for m in ("arm", "upsampling", "synthesis")}
-    for m in ("arm", "upsampling", "synthesis"):
-        for p in ("weight", "bias"):
-            n = fh.n_bytes_nn[m][p]
-            streams[m][p] = data[ptr : ptr + n]
-            ptr += n
-    params = _decode_network(cfg, streams, fh.q_step_index_nn, fh.scale_index_nn)
-    arm_int = integerize_arm_params(params["arm"])
-
-    # ----- Latent grids (sequential autoregressive decode).
-    latents: List[np.ndarray] = []
-    grid_idx = 0
-    for c_i, h_i, w_i in cfg.latent_shapes:
-        planes = []
-        for _ft in range(c_i):
-            n = fh.n_bytes_per_latent[grid_idx]
-            if n == 0:
-                planes.append(np.zeros((h_i, w_i), np.int32))
-            else:
-                planes.append(
-                    decode_arm_latent_layer(
-                        data[ptr : ptr + n],
-                        arm_int,
-                        cfg.dim_arm,
-                        cfg.n_hidden_layers_arm,
-                        h_i,
-                        w_i,
-                        fh.hls_sig_blksize,
-                    )
-                )
-            ptr += n
-            grid_idx += 1
-        latents.append(np.stack(planes, 0))
+    params, latents, ptr = _decode_frame_payload(data, ptr, fh, cfg)
 
     # ----- Upsample + synthesize.
     if integer_pipeline:
-        raw = _ups_syn_integer(params, latents, cfg)
+        raw = _ups_syn_integer(params, latents, cfg).astype(np.float64) / 4096.0
         max_dyn = 2.0**gop.bitdepth - 1.0
         img = np.clip(np.round(raw * max_dyn) / max_dyn, 0.0, 1.0)
     else:
@@ -168,10 +210,50 @@ def _decode_frame(
     return np.asarray(img), info, ptr
 
 
+def _decode_frame_payload(
+    data: bytes, ptr: int, fh: FrameHeader, cfg: CoolChicConfig
+) -> Tuple[Dict, List[np.ndarray], int]:
+    """NN streams + sequential ARM latent decode of one frame payload."""
+    streams = {m: {} for m in ("arm", "upsampling", "synthesis")}
+    for m in ("arm", "upsampling", "synthesis"):
+        for p in ("weight", "bias"):
+            n = fh.n_bytes_nn[m][p]
+            streams[m][p] = data[ptr : ptr + n]
+            ptr += n
+    params = _decode_network(cfg, streams, fh.q_step_index_nn, fh.scale_index_nn)
+    arm_int = integerize_arm_params(params["arm"])
+
+    latents: List[np.ndarray] = []
+    grid_idx = 0
+    for c_i, h_i, w_i in cfg.latent_shapes:
+        planes = []
+        for _ft in range(c_i):
+            n = fh.n_bytes_per_latent[grid_idx]
+            if n == 0:
+                planes.append(np.zeros((h_i, w_i), np.int32))
+            else:
+                planes.append(
+                    decode_arm_latent_layer(
+                        data[ptr : ptr + n],
+                        arm_int,
+                        cfg.dim_arm,
+                        cfg.n_hidden_layers_arm,
+                        h_i,
+                        w_i,
+                        fh.hls_sig_blksize,
+                    )
+                )
+            ptr += n
+            grid_idx += 1
+        latents.append(np.stack(planes, 0))
+    return params, latents, ptr
+
+
 def _ups_syn_integer(params, latents, cfg: CoolChicConfig) -> np.ndarray:
-    """Fixed-point reconstruction via the C++ backend. Integer weights are
-    recovered exactly from the dequantized floats (power-of-two q-steps):
-    12-frac-bit kernels/weights, 24-frac-bit synthesis biases
+    """Fixed-point reconstruction via the C++ backend, returned as the raw
+    [c_out, H, W] int32 synthesis output at 12 fractional bits. Integer
+    weights are recovered exactly from the dequantized floats (power-of-two
+    q-steps): 12-frac-bit kernels/weights, 24-frac-bit synthesis biases
     (reference: cpp/cc-frame-decoder.cpp decode_weights_qi)."""
     from coolchic_tpu.bitstream.entropy import ups_syn_int
 
@@ -222,4 +304,4 @@ def _ups_syn_integer(params, latents, cfg: CoolChicConfig) -> np.ndarray:
         syn_b,
         desc,
     )
-    return out_int.astype(np.float64) / 4096.0
+    return out_int

@@ -179,9 +179,12 @@ def encode_frame_bitstream(
     nn_expgol_cnt: Dict[str, Dict[str, int]],
     display_index: int = 0,
     hls_sig_blksize: int = 16,
+    flow_gain: int = 0,
 ) -> Tuple[bytes, Params, List[np.ndarray]]:
     """Encode one frame. ``params`` must hold post-``quantize_model``
-    networks (multiples of the chosen q-steps).
+    networks (multiples of the chosen q-steps). ``flow_gain`` is written to
+    the frame header (1 enables the decoder's motion compensation scale for
+    P/B frames, reference: ccdecapi.cpp warp flo_gain).
 
     Returns (frame bytes, decoder-matched float params, decoded latents).
     """
@@ -277,7 +280,7 @@ def encode_frame_bitstream(
                 f"{o}-{k}-{'residual' if r else 'linear'}-{'relu' if a else 'none'}"
                 for (o, k, r, a) in cfg.parsed_synthesis_layers()
             ],
-            flow_gain=0,
+            flow_gain=flow_gain,
             ac_max_val_nn=ac_max_val_nn,
             ac_max_val_latent=ac_max_val_latent,
             hls_sig_blksize=hls_sig_blksize,

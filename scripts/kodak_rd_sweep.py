@@ -52,6 +52,8 @@ SWEEP_LAMBDAS = (4e-4, 1e-3, 4e-3, 2e-2)
 SEQS = [f"kodim{i:02d}" for i in range(1, 25)]
 
 BATCH = 8  # fixed so every batch reuses the same compiled programs
+WARMUP_CHUNK = 4  # warm-up candidates trained per device call (its 400-step
+# validation block compiles ~16M past HBM at 8; see the OOM note below)
 SEG_ITERS = 2000  # max gradient iterations per TPU call
 CKPT_EVERY = 4  # checkpoint the batch state every N segments
 
@@ -226,32 +228,40 @@ def cmd_encode(args) -> None:
                 i = st["wp_idx"]
                 phase_w = wp[i].training_phase
                 n = wp[i].candidates
-                cand = to_jnp(st["cand"])
+                cand = st["cand"]  # host numpy
                 if i > 0:
                     losses = st["losses"]  # [J, n_prev]
                     order = np.argsort(losses, axis=1)[:, :n]
-                    cand = jax.vmap(lambda c, o: jax.tree.map(lambda a: a[o], c))(
-                        cand, jnp.asarray(order)
+                    cand = jax.tree.map(
+                        lambda a: np.take_along_axis(
+                            a,
+                            order.reshape(order.shape + (1,) * (a.ndim - 2)),
+                            axis=1,
+                        ),
+                        cand,
                     )
-                train_keys = jax.vmap(
+                train_keys = np.asarray(jax.vmap(
                     lambda k: jax.random.split(jax.random.fold_in(k, i + 1), n)
-                )(jkeys)  # [J, n, 2]
+                )(jkeys))  # [J, n, 2]
                 # flatten (J, n) and run the 400-iter warm-up phase in
-                # BATCH-sized chunks: J*n parallel training instances at
-                # Kodak size exceed HBM (observed 22.9G vs 15.75G at 40).
+                # BATCH-sized chunks on HOST arrays — only one chunk lives on
+                # the device at a time (J*n candidate trees + repeated
+                # targets on-device pushed the batch-8 program 16M over HBM).
                 flat = jax.tree.map(
                     lambda a: a.reshape(-1, *a.shape[2:]), cand
                 )
                 fkeys = train_keys.reshape(-1, 2)
-                ftargets = jnp.repeat(targets, n, axis=0)
-                flmbdas = jnp.repeat(lmbdas, n)
+                ftargets_np = np.repeat(np.asarray(targets), n, axis=0)
+                flmbdas = np.repeat(np.asarray(lmbdas), n)
                 freq, nfb, rem, _ = _phase_geometry(phase_w)
                 n_flat = len(jobs) * n
                 chunks_best, chunks_logs = [], []
-                for c0 in range(0, n_flat, BATCH):
-                    sl = slice(c0, min(c0 + BATCH, n_flat))
-                    cflat = jax.tree.map(lambda a: a[sl], flat)
-                    ck, ct, cl = fkeys[sl], ftargets[sl], flmbdas[sl]
+                for c0 in range(0, n_flat, WARMUP_CHUNK):
+                    sl = slice(c0, min(c0 + WARMUP_CHUNK, n_flat))
+                    cflat = jax.tree.map(lambda a: jnp.asarray(a[sl]), flat)
+                    ck = jnp.asarray(fkeys[sl])
+                    ct = jnp.asarray(ftargets_np[sl])
+                    cl = jnp.asarray(flmbdas[sl])
                     ps = jax.vmap(
                         lambda p, t, l, k: init_phase_state(p, t, l, k, cfg, phase_w)
                     )(cflat, ct, cl, ck)
