@@ -78,7 +78,7 @@ def decode_bitstream(
     return img, info
 
 
-def decode_video_bitstream(data: bytes) -> Tuple[list, Dict]:
+def decode_video_bitstream(data: bytes, full_info: bool = False) -> Tuple[list, Dict]:
     """Decode a multi-frame bitstream with the reference decoder's exact
     integer pipeline (reference: cpp/ccdecapi.cpp:673-840):
 
@@ -97,10 +97,24 @@ def decode_video_bitstream(data: bytes) -> Tuple[list, Dict]:
     For yuv420 content the chroma planes of the returned 444 frames are
     the decoded subsamples expanded 2x2, so a nearest 444->420 conversion
     reproduces the decoded bytes exactly.
+
+    ``full_info=False`` (default) runs the whole GOP in one C call
+    (cpp/frame_decoder.cpp ccz_decode_video) with a python fallback;
+    ``full_info=True`` forces the python-orchestrated pipeline (same
+    integer math, exposes per-frame params/latents in the info dict).
     """
     from coolchic_tpu.bitstream.inter import HALF, PREC, process_inter_int
 
     gop = read_gop_header(data)
+    if not full_info:
+        from coolchic_tpu.bitstream.entropy import decode_video_cc
+
+        fast = decode_video_cc(data)
+        if fast is not None:
+            samples, cinfo = fast
+            max_dyn = np.float32((1 << gop.bitdepth) - 1)
+            frames = [f.astype(np.float32) / max_dyn for f in samples]
+            return frames, {"gop_header": gop, "timings": cinfo["timings"]}
     n_frames = gop.intra_period + 1 if gop.intra_period > 0 else 1
     ptr = gop.n_bytes_header
     max_dyn = (1 << gop.bitdepth) - 1

@@ -30,14 +30,14 @@ _lib: Optional[ctypes.CDLL] = None
 _HASH_PATH = _LIB_PATH + ".srchash"
 
 
-def _source_hash() -> str:
+def _source_hash(sources=None) -> str:
     """Content hash of every source/header feeding the build (mtimes are
     unreliable after a fresh clone, where all files share checkout time and
     a stale committed .so built with -march=native elsewhere could load)."""
     import hashlib
 
     h = hashlib.sha256()
-    for f in _SOURCES + _HEADERS:
+    for f in (sources or _SOURCES) + _HEADERS:
         p = os.path.join(_CPP_DIR, f)
         if os.path.exists(p):
             with open(p, "rb") as fh:
@@ -73,7 +73,14 @@ def build_library() -> str:
 def build_decoder_binary(force: bool = False) -> str:
     """Build the standalone ``ccdec`` decoder executable
     (reference: coolchic/cpp/CMakeLists.txt ccdec target)."""
-    if not force and os.path.exists(_BIN_PATH) and not _needs_build():
+    bin_hash_path = _BIN_PATH + ".srchash"
+    want = _source_hash(_BIN_SOURCES)
+    if (
+        not force
+        and os.path.exists(_BIN_PATH)
+        and os.path.exists(bin_hash_path)
+        and open(bin_hash_path).read().strip() == want
+    ):
         return _BIN_PATH
     inc = os.path.join(_CPP_DIR, "gen_contexts.inc")
     if not os.path.exists(inc):
@@ -86,6 +93,8 @@ def build_decoder_binary(force: bool = False) -> str:
         + ["-o", _BIN_PATH]
     )
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(bin_hash_path, "w") as f:
+        f.write(want)
     return _BIN_PATH
 
 
@@ -158,6 +167,10 @@ def _load() -> ctypes.CDLL:
     lib.ccz_probe_bitstream.argtypes = [u8p, ctypes.c_int, i32p]
     lib.ccz_decode_image.restype = ctypes.c_int
     lib.ccz_decode_image.argtypes = [
+        u8p, ctypes.c_int, i32p, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.ccz_decode_video.restype = ctypes.c_int
+    lib.ccz_decode_video.argtypes = [
         u8p, ctypes.c_int, i32p, ctypes.POINTER(ctypes.c_double),
     ]
     _lib = lib
@@ -349,6 +362,34 @@ def decode_image_cc(data: bytes) -> Optional[Tuple[np.ndarray, dict]]:
         "total_sec": times[3],
     }
     return img, info
+
+
+def decode_video_cc(data: bytes) -> Optional[Tuple[np.ndarray, dict]]:
+    """Whole-GOP decode in one C call: per-frame decode + fixed-point inter
+    prediction (warp/bpred) + reference-storage round-trips
+    (cpp/frame_decoder.cpp ccz_decode_video; reference: ccdecapi.cpp
+    cc_decode_* frame loop). Returns ([n_frames, 3, H, W] int32 samples in
+    display order, info), or None for configurations the C path doesn't
+    cover (callers fall back to the python pipeline)."""
+    info = probe_bitstream(data)
+    if info is None:
+        return None
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8).copy()
+    h, w = info["img_size"]
+    out = np.empty(info["n_frames"] * 3 * h * w, np.int32)
+    times = (ctypes.c_double * 4)()
+    rc = lib.ccz_decode_video(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        _i32p(out), times,
+    )
+    if rc < 0:
+        return None
+    info["timings"] = {
+        "nn_sec": times[0], "arm_sec": times[1], "ups_syn_sec": times[2],
+        "total_sec": times[3],
+    }
+    return out.reshape(info["n_frames"], 3, h, w), info
 
 
 def decode_latent_layer(data: bytes, mus, log_scales, h: int, w: int, blk: int = 16) -> np.ndarray:

@@ -1,11 +1,12 @@
-// Standalone decoder executable: .cool bitstream -> PPM, no Python
+// Standalone decoder executable: .cool bitstream -> PPM (image) or
+// planar YUV (video / yuv content), no Python
 // (reference: coolchic/cpp/ccdecapi.cpp main + CMakeLists ccdec target).
 //
 // Build (see coolchic_tpu/bitstream/entropy.py build_decoder_binary):
 //   g++ -O3 -march=native -std=c++17 ccdec_main.cpp frame_decoder.cpp \
 //       arm_decode.cpp ups_syn_int.cpp entropy_api.cpp -o ccdec
 //
-// Usage: ccdec -i bitstream.cool -o out.ppm [-v]
+// Usage: ccdec -i bitstream.cool -o out.{ppm|yuv} [-v]
 
 #include <cstdint>
 #include <cstdio>
@@ -17,6 +18,25 @@ extern "C" int ccz_probe_bitstream(const uint8_t* data, int len,
                                    int32_t* out_info);
 extern "C" int ccz_decode_image(const uint8_t* data, int len, int32_t* out_img,
                                 double* timings);
+extern "C" int ccz_decode_video(const uint8_t* data, int len,
+                                int32_t* out_frames, double* timings);
+
+static bool ends_with(const char* s, const char* suf) {
+  size_t n = strlen(s), m = strlen(suf);
+  return n >= m && !strcmp(s + n - m, suf);
+}
+
+static void write_samples(FILE* out, const int32_t* p, size_t n, int bitdepth) {
+  if (bitdepth <= 8) {
+    std::vector<uint8_t> buf(n);
+    for (size_t i = 0; i < n; i++) buf[i] = (uint8_t)p[i];
+    fwrite(buf.data(), 1, n, out);
+  } else {
+    std::vector<uint16_t> buf(n);
+    for (size_t i = 0; i < n; i++) buf[i] = (uint16_t)p[i];
+    fwrite(buf.data(), 2, n, out);
+  }
+}
 
 int main(int argc, char** argv) {
   const char* in_path = nullptr;
@@ -27,12 +47,12 @@ int main(int argc, char** argv) {
     else if (!strcmp(argv[i], "-o") && i + 1 < argc) out_path = argv[++i];
     else if (!strcmp(argv[i], "-v")) verbose = true;
     else {
-      fprintf(stderr, "usage: ccdec -i in.cool -o out.ppm [-v]\n");
+      fprintf(stderr, "usage: ccdec -i in.cool -o out.{ppm|yuv} [-v]\n");
       return 2;
     }
   }
   if (!in_path || !out_path) {
-    fprintf(stderr, "usage: ccdec -i in.cool -o out.ppm [-v]\n");
+    fprintf(stderr, "usage: ccdec -i in.cool -o out.{ppm|yuv} [-v]\n");
     return 2;
   }
 
@@ -50,19 +70,54 @@ int main(int argc, char** argv) {
     fprintf(stderr, "bad bitstream header\n");
     return 1;
   }
-  int h = info[0], w = info[1], c = info[2], bitdepth = info[3];
-  if (info[4] != 0) {
-    fprintf(stderr, "only RGB streams supported by the standalone decoder\n");
-    return 1;
+  int h = info[0], w = info[1], bitdepth = info[3];
+  int data_type = info[4];  // 0 rgb, 1 yuv420, 2 yuv444
+  int n_frames = info[5];
+  size_t ps = (size_t)h * w;
+  double times[4];
+
+  if (ends_with(out_path, ".yuv")) {
+    // Video / YUV path (reference: ccdecapi.cpp yuv output loop).
+    std::vector<int32_t> frames((size_t)n_frames * 3 * ps);
+    int rc = ccz_decode_video(data.data(), (int)sz, frames.data(), times);
+    if (rc < 0) { fprintf(stderr, "decode failed (%d)\n", rc); return 1; }
+    FILE* out = fopen(out_path, "wb");
+    if (!out) { fprintf(stderr, "cannot write %s\n", out_path); return 1; }
+    for (int fi = 0; fi < n_frames; fi++) {
+      const int32_t* fr = frames.data() + (size_t)fi * 3 * ps;
+      write_samples(out, fr, ps, bitdepth);  // Y
+      if (data_type == 1) {                  // 420: subsample the expansion
+        std::vector<int32_t> sub((size_t)(h / 2) * (w / 2));
+        for (int c = 1; c < 3; c++) {
+          const int32_t* p = fr + c * ps;
+          for (int y = 0; y < h / 2; y++)
+            for (int x = 0; x < w / 2; x++)
+              sub[(size_t)y * (w / 2) + x] = p[(size_t)(2 * y) * w + 2 * x];
+          write_samples(out, sub.data(), sub.size(), bitdepth);
+        }
+      } else {
+        write_samples(out, fr + ps, 2 * ps, bitdepth);  // U, V full
+      }
+    }
+    fclose(out);
+    if (verbose)
+      fprintf(stderr,
+              "%d frames %dx%d @%db  nn %.1f ms | arm %.1f ms | ups+syn "
+              "%.1f ms | total %.1f ms\n",
+              n_frames, w, h, bitdepth, times[0] * 1e3, times[1] * 1e3,
+              times[2] * 1e3, times[3] * 1e3);
+    return 0;
   }
 
-  std::vector<int32_t> img((size_t)c * h * w);
-  double times[4];
-  int rc = ccz_decode_image(data.data(), (int)sz, img.data(), times);
-  if (rc < 0) {
-    fprintf(stderr, "decode failed (%d)\n", rc);
+  // Single-image PPM path.
+  if (data_type != 0) {
+    fprintf(stderr, "YUV content requires a .yuv output path\n");
     return 1;
   }
+  int c = info[2];
+  std::vector<int32_t> img((size_t)c * ps);
+  int rc = ccz_decode_image(data.data(), (int)sz, img.data(), times);
+  if (rc < 0) { fprintf(stderr, "decode failed (%d)\n", rc); return 1; }
   if (verbose)
     fprintf(stderr,
             "%dx%dx%d @%db  nn %.1f ms | arm %.1f ms | ups+syn %.1f ms | "
@@ -70,18 +125,16 @@ int main(int argc, char** argv) {
             w, h, c, bitdepth, times[0] * 1e3, times[1] * 1e3, times[2] * 1e3,
             times[3] * 1e3);
 
-  // PPM P6 (8 bit) / 16-bit big-endian for higher bitdepths.
   FILE* out = fopen(out_path, "wb");
   if (!out) { fprintf(stderr, "cannot write %s\n", out_path); return 1; }
   int maxval = (1 << bitdepth) - 1;
   fprintf(out, "P6\n%d %d\n%d\n", w, h, maxval);
-  size_t plane = (size_t)h * w;
   if (bitdepth <= 8) {
     std::vector<uint8_t> row(3 * w);
     for (int y = 0; y < h; y++) {
       for (int x = 0; x < w; x++)
         for (int ch = 0; ch < 3; ch++)
-          row[3 * x + ch] = (uint8_t)img[(ch % c) * plane + (size_t)y * w + x];
+          row[3 * x + ch] = (uint8_t)img[(ch % c) * ps + (size_t)y * w + x];
       fwrite(row.data(), 1, row.size(), out);
     }
   } else {
@@ -89,7 +142,7 @@ int main(int argc, char** argv) {
     for (int y = 0; y < h; y++) {
       for (int x = 0; x < w; x++)
         for (int ch = 0; ch < 3; ch++) {
-          int32_t v = img[(ch % c) * plane + (size_t)y * w + x];
+          int32_t v = img[(ch % c) * ps + (size_t)y * w + x];
           row[6 * x + 2 * ch] = (uint8_t)(v >> 8);
           row[6 * x + 2 * ch + 1] = (uint8_t)(v & 0xFF);
         }

@@ -334,6 +334,82 @@ inline int32_t round_q12_half_even(int64_t v) {
   return (int32_t)q;
 }
 
+// ---------------------------------------------------------------- inter
+
+constexpr int PREC = 12;           // SYN_LAYER_PRECISION
+constexpr int32_t PONE = 1 << PREC;
+constexpr int32_t PHALF = 1 << (PREC - 1);
+
+inline int32_t inter_gain(int32_t raw, bool invert) {
+  int32_t g = raw + PHALF;
+  if (g < 0) g = 0;
+  else if (g > PONE) g = PONE;
+  return invert ? PONE - g : g;
+}
+
+// Integer bilinear warp of ref [3, H, W] (12 frac bits) by the flow in
+// raw channels [xy, xy+1], gain channel gi (reference:
+// ccdecapi.cpp:496-600 warp; python twin bitstream/inter.py).
+void warp_int(const int32_t* ref, const int32_t* raw, int h, int w, int xy,
+              int gi, int flow_gain, bool add_residue, bool invert_gain,
+              int32_t* out) {
+  const size_t ps = (size_t)h * w;
+  for (int y = 0; y < h; y++) {
+    for (int x = 0; x < w; x++) {
+      const size_t i = (size_t)y * w + x;
+      int64_t px = (int64_t)raw[xy * ps + i] * flow_gain + ((int64_t)x << PREC);
+      int64_t py = (int64_t)raw[(xy + 1) * ps + i] * flow_gain +
+                   ((int64_t)y << PREC);
+      // floor with the reference's negative-branch quirk.
+      int64_t bx0 = px < 0 ? ((px - (PONE - 1)) >> PREC) : (px >> PREC);
+      int64_t dx = px - (bx0 << PREC);
+      int64_t bx1 = bx0 + 1;
+      if (bx0 < 0) { bx0 = 0; bx1 = 0; dx = 0; }
+      else if (bx0 >= w - 1) { bx0 = w - 1; bx1 = bx0; dx = 0; }
+      int64_t by0 = py < 0 ? ((py - (PONE - 1)) >> PREC) : (py >> PREC);
+      int64_t dy = py - (by0 << PREC);
+      int64_t by1 = by0 + 1;
+      if (by0 < 0) { by0 = 0; by1 = 0; dy = 0; }
+      else if (by0 >= h - 1) { by0 = h - 1; by1 = by0; dy = 0; }
+
+      int32_t gain = inter_gain(raw[gi * ps + i], invert_gain);
+      for (int c = 0; c < 3; c++) {
+        const int32_t* p = ref + c * ps;
+        int64_t a = p[by0 * w + bx0], b = p[by0 * w + bx1];
+        int64_t cc = p[by1 * w + bx0], d = p[by1 * w + bx1];
+        int64_t h0 = a + (((b - a) * dx) >> PREC);
+        int64_t h1 = cc + (((d - cc) * dx) >> PREC);
+        int64_t v = ((h1 - h0) * dy) >> PREC;
+        int64_t o = ((h0 + v) * gain) >> PREC;
+        if (add_residue) o += raw[c * ps + i];
+        out[c * ps + i] = (int32_t)o;
+      }
+    }
+  }
+}
+
+// P/B reconstruction (reference: ccdecapi.cpp:602-671 bpred/process_inter).
+void process_inter(const int32_t* raw, int c_raw, int h, int w,
+                   const int32_t* ref0, const int32_t* ref1, int flow_gain,
+                   int32_t* out) {
+  const size_t ps = (size_t)h * w;
+  if (c_raw == 6) {
+    warp_int(ref0, raw, h, w, 3, 5, flow_gain, true, false, out);
+    return;
+  }
+  std::vector<int32_t> p0(3 * ps), p1(3 * ps);
+  warp_int(ref0, raw, h, w, 3, 8, flow_gain, false, false, p0.data());
+  warp_int(ref1, raw, h, w, 6, 8, flow_gain, false, true, p1.data());
+  for (size_t i = 0; i < ps; i++) {
+    int32_t gain = inter_gain(raw[5 * ps + i], false);
+    for (int c = 0; c < 3; c++)
+      out[c * ps + i] =
+          (int32_t)((((int64_t)p0[c * ps + i] + p1[c * ps + i]) * gain) >>
+                    PREC) +
+          raw[c * ps + i];
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -354,6 +430,80 @@ int ccz_probe_bitstream(const uint8_t* data, int len, int32_t* out_info) {
   out_info[4] = gop.frame_data_type;
   out_info[5] = gop.intra_period > 0 ? gop.intra_period + 1 : 1;
   return 0;
+}
+
+// Decode a multi-frame bitstream (reference: ccdecapi.cpp:673-840
+// cc_decode_* frame loop). Writes display-ordered int32 samples in
+// [0, 2^bitdepth-1], [n_frames, 3, H, W]; for yuv420 content the chroma
+// planes carry the decoded subsamples expanded 2x2 (nearest), so a 420
+// subsample of the output reproduces the decoded bytes. Frame type follows
+// the synthesis channel count (3/6/9 = I/P/B); references are stored
+// through the bitdepth (and 420) round-trip before reuse, exactly like the
+// reference. Returns n_frames, or <0 on error.
+int ccz_decode_video(const uint8_t* data, int len, int32_t* out_frames,
+                     double* timings) {
+  auto t_all = clk::now();
+  Reader r{data, data + len};
+  GopHeader gop;
+  if (!read_gop_header(r, gop)) return -1;
+  const int n_frames = gop.intra_period > 0 ? gop.intra_period + 1 : 1;
+  const int h = gop.img_h, w = gop.img_w;
+  const size_t ps = (size_t)h * w;
+  const int64_t max_dyn = (1ll << gop.bitdepth) - 1;
+
+  std::vector<std::vector<int32_t>> stored(n_frames);  // by display idx
+  size_t ptr = gop.n_bytes_header;
+  StageTimes times;
+  std::vector<int32_t> raw12, f444(3 * ps);
+  for (int coding_idx = 0; coding_idx < n_frames; coding_idx++) {
+    FrameHeader fh;
+    int c_out = decode_frame_payload(data, len, ptr, gop, fh, raw12, times);
+    if (c_out < 0) return c_out;
+    const int disp = fh.display_index;
+    if (disp < 0 || disp >= n_frames) return -6;
+
+    if (coding_idx == 0 || c_out == 3) {
+      std::copy(raw12.begin(), raw12.begin() + 3 * ps, f444.begin());
+    } else {
+      const int32_t* ref0 = nullptr;
+      const int32_t* ref1 = nullptr;
+      for (int i = disp - 1; i >= 0; i--)
+        if (!stored[i].empty()) { ref0 = stored[i].data(); break; }
+      if (c_out == 9)
+        for (int i = disp + 1; i < n_frames; i++)
+          if (!stored[i].empty()) { ref1 = stored[i].data(); break; }
+      if (!ref0 || (c_out == 9 && !ref1)) return -7;
+      process_inter(raw12.data(), c_out, h, w, ref0, ref1, fh.flow_gain,
+                    f444.data());
+    }
+
+    // Output quantization + reference storage round-trip
+    // (reference: get_raw_444_* / convert_444_420_* + store_444_* /
+    // convert_420_444_*).
+    int32_t* out = out_frames + (size_t)disp * 3 * ps;
+    for (size_t i = 0; i < 3 * ps; i++) {
+      int64_t v = ((int64_t)f444[i] * max_dyn + PHALF) >> PREC;
+      out[i] = v < 0 ? 0 : (v > max_dyn ? (int32_t)max_dyn : (int32_t)v);
+    }
+    if (gop.frame_data_type == 1) {  // yuv420: chroma = expanded subsamples
+      for (int c = 1; c < 3; c++) {
+        int32_t* p = out + c * ps;
+        for (int y = 0; y < h; y++)
+          for (int x = 0; x < w; x++)
+            p[(size_t)y * w + x] = p[(size_t)(y & ~1) * w + (x & ~1)];
+      }
+    }
+    stored[disp].resize(3 * ps);
+    for (size_t i = 0; i < 3 * ps; i++)
+      stored[disp][i] = (int32_t)(((int64_t)out[i] << PREC) / max_dyn);
+  }
+  if (timings) {
+    timings[0] = times.nn;
+    timings[1] = times.arm;
+    timings[2] = times.ups_syn;
+    timings[3] = secs_since(t_all);
+  }
+  return n_frames;
 }
 
 // Decode a single-image bitstream to integer samples in [0, 2^bitdepth-1],

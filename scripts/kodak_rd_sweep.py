@@ -51,9 +51,11 @@ PROXY_LMBDA = 1e-4
 SWEEP_LAMBDAS = (4e-4, 1e-3, 4e-3, 2e-2)
 SEQS = [f"kodim{i:02d}" for i in range(1, 25)]
 
-BATCH = 8  # fixed so every batch reuses the same compiled programs
-WARMUP_CHUNK = 4  # warm-up candidates trained per device call (its 400-step
-# validation block compiles ~16M past HBM at 8; see the OOM note below)
+BATCH = 8  # jobs per checkpointed batch (fixed shapes reuse compiled programs)
+DEV_CHUNK = 4  # jobs per DEVICE call: XLA lays several conv-gradient temps
+# out as f32[b,3,512,768]{1,0,3,2:T(8,128)} (minor dims = channel, batch ->
+# 42.7x tile padding, ~1.3G per temp at b=8), so the segmented phase program
+# at batch 8 compiles ~16M past the 15.75G HBM; batch 4 fits with ~11G slack
 SEG_ITERS = 2000  # max gradient iterations per TPU call
 CKPT_EVERY = 4  # checkpoint the batch state every N segments
 
@@ -194,13 +196,24 @@ def cmd_encode(args) -> None:
         h, w = batch["size"]
         cfg = CoolChicConfig(img_size=(int(h), int(w)))
         jobs = batch["jobs"]
-        targets = jnp.asarray(
-            np.stack([np.load(tdir / f"{j['seq']}.npy") for j in jobs])
-        )
-        lmbdas = jnp.asarray([j["lmbda"] for j in jobs])
-        jkeys = jax.vmap(
+        targets = np.stack([np.load(tdir / f"{j['seq']}.npy") for j in jobs])
+        lmbdas = np.asarray([j["lmbda"] for j in jobs], np.float32)
+        jkeys = np.asarray(jax.vmap(
             lambda u: jax.random.fold_in(jax.random.PRNGKey(seed), u)
-        )(jnp.asarray([j["uid"] for j in jobs]))
+        )(jnp.asarray([j["uid"] for j in jobs])))
+
+        def chunked(fn, *trees):
+            """Apply a vmapped device program over DEV_CHUNK-sized slices
+            of the leading (job) axis, keeping everything else on host."""
+            outs = []
+            for c0 in range(0, len(jobs), DEV_CHUNK):
+                sl = slice(c0, min(c0 + DEV_CHUNK, len(jobs)))
+                args = [
+                    jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[sl]), t)
+                    for t in trees
+                ]
+                outs.append(to_np(fn(*args)))
+            return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
 
         st = _load(spath) if spath.exists() else {"stage": "warmup_init"}
         t_batch = time.time()
@@ -256,8 +269,8 @@ def cmd_encode(args) -> None:
                 freq, nfb, rem, _ = _phase_geometry(phase_w)
                 n_flat = len(jobs) * n
                 chunks_best, chunks_logs = [], []
-                for c0 in range(0, n_flat, WARMUP_CHUNK):
-                    sl = slice(c0, min(c0 + WARMUP_CHUNK, n_flat))
+                for c0 in range(0, n_flat, DEV_CHUNK):
+                    sl = slice(c0, min(c0 + DEV_CHUNK, n_flat))
                     cflat = jax.tree.map(lambda a: jnp.asarray(a[sl]), flat)
                     ck = jnp.asarray(fkeys[sl])
                     ct = jnp.asarray(ftargets_np[sl])
@@ -307,15 +320,22 @@ def cmd_encode(args) -> None:
             elif stage == "phase_init":
                 pi = st["phase_idx"]
                 phase = phases[pi]
-                pkeys = jax.vmap(lambda k: jax.random.fold_in(k, 1000 + pi))(jkeys)
-                ps = jax.vmap(
-                    lambda p, t, l, k: init_phase_state(p, t, l, k, cfg, phase)
-                )(to_jnp(st["params"]), targets, lmbdas, pkeys)
+                pkeys = np.asarray(
+                    jax.vmap(lambda k: jax.random.fold_in(k, 1000 + pi))(
+                        jnp.asarray(jkeys)
+                    )
+                )
+                ps = chunked(
+                    jax.vmap(
+                        lambda p, t, l, k: init_phase_state(p, t, l, k, cfg, phase)
+                    ),
+                    st["params"], targets, lmbdas, pkeys,
+                )
                 st = {
                     "stage": "phase_blocks",
                     "phase_idx": pi,
                     "block": 0,
-                    "ps": to_np(ps),
+                    "ps": ps,
                     "infos": st.get("infos"),
                 }
                 ckpt(True)
@@ -325,29 +345,35 @@ def cmd_encode(args) -> None:
                 freq, nfb, rem, _ = _phase_geometry(phase)
                 seg_blocks = max(1, SEG_ITERS // freq)
                 b0 = st["block"]
-                ps = to_jnp(st["ps"])
+                ps = st["ps"]
                 if b0 < nfb:
                     nb = min(seg_blocks, nfb - b0)
                     # keep the last partial chunk the same compiled size by
                     # allowing two shapes only: seg_blocks or the remainder
-                    ps = jax.vmap(
-                        lambda s, t, l: run_phase_blocks(
-                            s, t, l, jnp.int32(b0), cfg, phase, nb
-                        )
-                    )(ps, targets, lmbdas)
-                    st = {**st, "block": b0 + nb, "ps": to_np(ps)}
+                    ps = chunked(
+                        jax.vmap(
+                            lambda s, t, l: run_phase_blocks(
+                                s, t, l, jnp.int32(b0), cfg, phase, nb
+                            )
+                        ),
+                        ps, targets, lmbdas,
+                    )
+                    st = {**st, "block": b0 + nb, "ps": ps}
                     ckpt()
                 else:
                     if rem:
-                        ps = jax.vmap(
-                            lambda s, t, l: run_phase_rem_block(
-                                s, t, l, jnp.int32(nfb), cfg, phase, rem
-                            )
-                        )(ps, targets, lmbdas)
-                    best, logs = jax.vmap(finish_phase)(ps)
+                        ps = chunked(
+                            jax.vmap(
+                                lambda s, t, l: run_phase_rem_block(
+                                    s, t, l, jnp.int32(nfb), cfg, phase, rem
+                                )
+                            ),
+                            ps, targets, lmbdas,
+                        )
+                    best, logs = chunked(jax.vmap(finish_phase), ps)
                     nxt = {
-                        "params": to_np(best),
-                        "logs": to_np(logs),
+                        "params": best,
+                        "logs": logs,
                         "infos": st.get("infos"),
                     }
                     if phase.quantize_model:
@@ -362,14 +388,15 @@ def cmd_encode(args) -> None:
                     ckpt(True)
             elif stage == "quantize":
                 pi = st["phase_idx"]
-                params, infos = jax.vmap(
-                    lambda p, t, l: quantize_model_with_info(p, t, l, cfg)
-                )(to_jnp(st["params"]), targets, lmbdas)
+                params, infos = chunked(
+                    jax.vmap(lambda p, t, l: quantize_model_with_info(p, t, l, cfg)),
+                    st["params"], targets, lmbdas,
+                )
                 st = {
                     "stage": "phase_init" if pi + 1 < len(phases) else "finish",
                     "phase_idx": pi + 1,
-                    "params": to_np(params),
-                    "infos": to_np(infos),
+                    "params": params,
+                    "infos": infos,
                 }
                 ckpt(True)
             elif stage == "finish":

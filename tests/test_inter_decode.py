@@ -129,6 +129,48 @@ def test_b_frame_stream_matches_reference(ccdec, tmp_path):
     np.testing.assert_array_equal(ours, ref)
 
 
+@pytest.mark.parametrize("specs,ip", [
+    ([(0, 3, 0), (1, 6, 1)], 1),
+    ([(0, 3, 0), (1, 6, 2), (2, 9, 1)], 2),
+])
+def test_c_video_path_matches_python(specs, ip):
+    """The one-call C video decoder (cpp/frame_decoder.cpp
+    ccz_decode_video) reproduces the python-orchestrated integer pipeline
+    exactly, inter frames included."""
+    bs = _make_stream(specs, intra_period=ip, p_period=ip)
+    fc, info_c = decode_video_bitstream(bs)
+    fp, _ = decode_video_bitstream(bs, full_info=True)
+    assert "timings" in info_c  # C path taken
+    for a, b in zip(fc, fp):
+        np.testing.assert_array_equal(
+            np.round(np.asarray(a, np.float64) * 255),
+            np.round(np.asarray(b, np.float64) * 255),
+        )
+
+
+@pytest.mark.slow
+def test_our_ccdec_binary_video_matches_reference(ccdec, tmp_path):
+    """Our standalone ccdec exe writes the same .yuv bytes as the
+    reference's for an inter-coded stream."""
+    from coolchic_tpu.bitstream.entropy import build_decoder_binary
+
+    bs = _make_stream(
+        [(0, 3, 0), (1, 6, 2), (2, 9, 1)], intra_period=2, p_period=2
+    )
+    ref = _ref_decode_yuv(ccdec, bs, tmp_path, 3)
+    binp = build_decoder_binary()
+    bs_path = tmp_path / "seq2.cool"
+    out_path = tmp_path / "ours.yuv"
+    bs_path.write_bytes(bs)
+    r = subprocess.run(
+        [str(binp), "-i", str(bs_path), "-o", str(out_path)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    ours = np.frombuffer(out_path.read_bytes(), np.uint8).reshape(3, 3, H, W)
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_warp_int_identity_flow():
     """Zero flow + alpha=0.5-saturating gain reduces to gain-scaled copy."""
     rng = np.random.default_rng(0)
