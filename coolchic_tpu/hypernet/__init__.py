@@ -6,7 +6,12 @@ from coolchic_tpu.hypernet.training import (
     make_wholenet_train_step,
     train_wholenet,
 )
-from coolchic_tpu.hypernet.wholenet import DeltaWholeNet, NOWholeNet, WholeNetState
+from coolchic_tpu.hypernet.wholenet import (
+    DeltaWholeNet,
+    NOWholeNet,
+    SmallDeltaWholeNet,
+    WholeNetState,
+)
 
 __all__ = [
     "get_backbone",
@@ -17,5 +22,6 @@ __all__ = [
     "train_wholenet",
     "DeltaWholeNet",
     "NOWholeNet",
+    "SmallDeltaWholeNet",
     "WholeNetState",
 ]

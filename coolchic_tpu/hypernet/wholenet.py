@@ -237,3 +237,20 @@ class DeltaWholeNet:
         hypernet = dict(delta_state.hypernet)
         hypernet["LatentHyperNet_0"] = no_state.hypernet
         return WholeNetState(hypernet=hypernet, decoder=no_state.decoder)
+
+
+class SmallDeltaWholeNet(DeltaWholeNet):
+    """Delta wholenet with the compact conv hypernet — no ResNet backbone,
+    no upsampling deltas (reference: hypernet.py:1419-1439 SmallDeltaWholeNet
+    + :746-845 SmallCoolchicHyperNet). The training loop's backbone
+    freeze/unfreeze naturally no-ops: the param tree has no ``ResNet*``
+    collection (the reference overrides freeze_resnet to pass)."""
+
+    def __init__(self, cfg: CoolChicConfig, mode: str = "delta", **hn_kwargs):
+        from coolchic_tpu.hypernet.heads import SmallCoolchicHyperNet
+
+        assert mode == "delta", "the small hypernet is a delta-only variant"
+        self.cfg = cfg
+        self.mode = mode
+        self.module = SmallCoolchicHyperNet(cfg=cfg, **hn_kwargs)
+        self.use_delta = True

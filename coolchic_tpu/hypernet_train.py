@@ -18,7 +18,7 @@ from pathlib import Path
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="coolchic_tpu hypernet trainer")
     p.add_argument("--config", type=Path, default=None, help="HypernetRunConfig YAML")
-    p.add_argument("--mode", choices=["no", "delta"], default="no")
+    p.add_argument("--mode", choices=["no", "delta", "small"], default="no")
     p.add_argument("--data_dir", type=Path, default=None)
     p.add_argument("--synthetic", action="store_true", help="use synthetic patches")
     p.add_argument("--workdir", type=Path, default=Path("hnet_workdir"))
@@ -40,7 +40,12 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from coolchic_tpu.hypernet import DeltaWholeNet, NOWholeNet, train_wholenet
+    from coolchic_tpu.hypernet import (
+        DeltaWholeNet,
+        NOWholeNet,
+        SmallDeltaWholeNet,
+        train_wholenet,
+    )
     from coolchic_tpu.hypernet.inference import load_checkpoint, save_checkpoint
     from coolchic_tpu.metalearning import PatchDataset, synthetic_batches
     from coolchic_tpu.train.presets import TrainerPhase
@@ -58,6 +63,11 @@ def main(argv=None) -> int:
         backbone = run_cfg.hypernet_cfg.backbone_arch
         unfreeze = run_cfg.unfreeze_backbone
         workdir = Path(run_cfg.workdir or args.workdir)
+        hn_kwargs = dict(
+            only_biases_arm=run_cfg.hypernet_cfg.arm.only_biases,
+            only_biases_synthesis=run_cfg.hypernet_cfg.synthesis.only_biases,
+        )
+        dbl = run_cfg.hypernet_cfg.double_backbone
     else:
         from coolchic_tpu.utils.types import DecoderConfig
 
@@ -77,13 +87,21 @@ def main(argv=None) -> int:
         )
         n_hidden, backbone, unfreeze = 64, "resnet18", 0
         workdir = args.workdir
+        hn_kwargs = {}
+        dbl = False
 
     key = jax.random.PRNGKey(args.seed)
     if args.mode == "no":
         net = NOWholeNet(cfg, n_hidden_channels=n_hidden)
         state = net.init(key, patch)
+    elif args.mode == "small":
+        net = SmallDeltaWholeNet(cfg, n_hidden_channels=n_hidden, **hn_kwargs)
+        state = net.init(key, patch)
     else:
-        net = DeltaWholeNet(cfg, backbone_arch=backbone, n_hidden_channels=n_hidden)
+        net = DeltaWholeNet(
+            cfg, backbone_arch=backbone, n_hidden_channels=n_hidden,
+            double_backbone=dbl, **hn_kwargs,
+        )
         state = net.init(key, patch)
         if args.init_from is not None:
             no_state = load_checkpoint(args.init_from)

@@ -268,8 +268,11 @@ def cmd_encode(args) -> None:
                 flmbdas = np.repeat(np.asarray(lmbdas), n)
                 freq, nfb, rem, _ = _phase_geometry(phase_w)
                 n_flat = len(jobs) * n
-                chunks_best, chunks_logs = [], []
-                for c0 in range(0, n_flat, DEV_CHUNK):
+                # per-chunk progress is checkpointed in st["wp_done"]: the
+                # tunnel kills workers often enough that losing a whole
+                # warm-up stage livelocks the sweep.
+                done = list(st.get("wp_done", []))
+                for c0 in range(len(done) * DEV_CHUNK, n_flat, DEV_CHUNK):
                     sl = slice(c0, min(c0 + DEV_CHUNK, n_flat))
                     cflat = jax.tree.map(lambda a: jnp.asarray(a[sl]), flat)
                     ck = jnp.asarray(fkeys[sl])
@@ -290,8 +293,11 @@ def cmd_encode(args) -> None:
                             )
                         )(ps, ct, cl)
                     cbest, clogs = jax.vmap(finish_phase)(ps)
-                    chunks_best.append(to_np(cbest))
-                    chunks_logs.append(np.asarray(clogs.loss))
+                    done.append((to_np(cbest), np.asarray(clogs.loss)))
+                    st = {**st, "wp_done": done}
+                    ckpt()
+                chunks_best = [d[0] for d in done]
+                chunks_logs = [d[1] for d in done]
                 best = jax.tree.map(
                     lambda *xs: np.concatenate(xs, axis=0), *chunks_best
                 )
@@ -428,6 +434,7 @@ def cmd_run(args) -> None:
     (fresh process + cooldown recovers from tunnel crashes)."""
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     for attempt in range(args.max_attempts):
         n_final = sum(
             1 for bi in range(len(job_list(args.budget))) if _batch_paths(bi)[2].exists()

@@ -166,3 +166,57 @@ def test_delta_init_from_nowholenet():
     out_d, rate_d = delta_net.forward(merged, imgs, training=False)
     np.testing.assert_allclose(np.asarray(out_no), np.asarray(out_d), atol=1e-4)
     np.testing.assert_allclose(np.asarray(rate_no), np.asarray(rate_d), atol=1e-3)
+
+
+def test_small_delta_wholenet_forward_and_materialize():
+    """Compact conv hypernet: forward shapes + zero upsampling deltas
+    (reference: hypernet.py:746-845, 1419-1439)."""
+    from coolchic_tpu.hypernet import SmallDeltaWholeNet
+
+    small_kw = {k: v for k, v in HN_KW.items() if not k.startswith("ups_")}
+    net = SmallDeltaWholeNet(CFG, **small_kw)
+    state = net.init(jax.random.PRNGKey(0))
+    # no ResNet backbone in the tree -> the freeze logic no-ops
+    assert not any(k.startswith("ResNet") for k in state.hypernet)
+    img = jnp.zeros((2, 3, 32, 32))
+    out, rate = net.forward(state, img, key=jax.random.PRNGKey(1))
+    assert out.shape == (2, 3, 32, 32)
+    # upsampling deltas are structurally zero
+    _, deltas = net.predict(state, img)
+    assert all(float(jnp.abs(u).max()) == 0 for u in deltas["upsampling"]["ups"])
+    params = net.image_to_coolchic(state, img[0])
+    assert set(params) == {"arm", "synthesis", "upsampling", "latents"}
+
+
+def test_only_biases_deltas_have_zero_weights():
+    """COIN++-style bias-only deltas (reference: hypernet.py:239-243,
+    360-366): predicted weight deltas are exactly zero, biases are free."""
+    net = DeltaWholeNet(
+        CFG, only_biases_arm=True, only_biases_synthesis=True, **HN_KW
+    )
+    state = net.init(jax.random.PRNGKey(0))
+    # randomize head params so non-zero outputs would show up
+    state = state._replace(
+        hypernet=jax.tree.map(
+            lambda a: jax.random.normal(jax.random.PRNGKey(1), a.shape) * 0.1,
+            state.hypernet,
+        )
+    )
+    img = jnp.ones((1, 3, 32, 32)) * 0.3
+    _, deltas = net.predict(state, img)
+    for layer in deltas["arm"]["layers"] + deltas["synthesis"]["layers"]:
+        assert float(jnp.abs(layer["weight"]).max()) == 0
+    biases = [float(jnp.abs(l["bias"]).max()) for l in deltas["arm"]["layers"]]
+    assert max(biases) > 0
+
+
+def test_double_backbone_forward():
+    """Second backbone over upsampled latents (reference: hypernet.py:583-589,
+    639-649)."""
+    net = DeltaWholeNet(CFG, double_backbone=True, **HN_KW)
+    state = net.init(jax.random.PRNGKey(0))
+    assert sum(1 for k in state.hypernet if k.startswith("ResNet")) == 2
+    img = jnp.zeros((1, 3, 32, 32))
+    out, rate = net.forward(state, img, key=jax.random.PRNGKey(1))
+    assert out.shape == (1, 3, 32, 32)
+    assert np.isfinite(np.asarray(out)).all()
