@@ -46,13 +46,25 @@ def _batch_loss(net, state, imgs, lmbda, key, q_noise, q_type, temp, noise):
 
 
 def make_wholenet_train_step(
-    net, phase: TrainerPhase, freeze_backbone: bool = False
+    net,
+    phase: TrainerPhase,
+    freeze_backbone: bool = False,
+    grad_accumulation_steps: int = 1,
 ) -> Tuple[Any, Callable]:
-    """Build (optimizer, jitted step) for one training phase."""
+    """Build (optimizer, jitted step) for one training phase.
+
+    ``grad_accumulation_steps > 1`` averages gradients over that many
+    consecutive micro-batches before each optimizer update
+    (reference: hypernet/training.py:322-326), via optax.MultiSteps —
+    between updates the step emits zero deltas, so the training loop is
+    unchanged.
+    """
     tx = optax.chain(
         optax.clip_by_global_norm(GRAD_CLIP_NORM),
         optax.scale_by_adam(),
     )
+    if grad_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accumulation_steps)
 
     def mask_fn(grads: WholeNetState) -> WholeNetState:
         if not freeze_backbone:
@@ -124,6 +136,8 @@ def train_wholenet(
     verbose: bool = True,
     workdir: Optional[Any] = None,
     checkpointing_freq_samples: Optional[int] = None,
+    grad_accumulation_steps: int = 1,
+    mesh: Optional[Any] = None,
 ):
     """Train for ``n_samples`` images with periodic evaluation + patience
     best-reload (reference: training.py:207-392).
@@ -146,8 +160,24 @@ def train_wholenet(
         max(patience_samples // batch_size, 1) if patience_samples else None
     )
 
+    data_sharding = None
+    if mesh is not None:
+        # Data parallelism over the mesh's "data" axis: batches are placed
+        # batch-sharded, state replicated, and XLA inserts the gradient
+        # all-reduce (the sharding-annotation recipe; no reference
+        # counterpart — the reference trains single-GPU).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        repl = NamedSharding(mesh, PartitionSpec())
+        state = jax.device_put(state, repl)
+        eval_imgs = jax.device_put(eval_imgs, data_sharding)
+
     frozen = unfreeze_backbone_samples > 0
-    tx, step = make_wholenet_train_step(net, phase, freeze_backbone=frozen)
+    tx, step = make_wholenet_train_step(
+        net, phase, freeze_backbone=frozen,
+        grad_accumulation_steps=grad_accumulation_steps,
+    )
     opt_state = tx.init(state)
 
     best_state = state
@@ -164,7 +194,10 @@ def train_wholenet(
         # requires_grad and keeps training (reference: training.py:376-377).
         if frozen and samples_seen >= unfreeze_backbone_samples:
             frozen = False
-            _, step = make_wholenet_train_step(net, phase, freeze_backbone=False)
+            _, step = make_wholenet_train_step(
+                net, phase, freeze_backbone=False,
+                grad_accumulation_steps=grad_accumulation_steps,
+            )
 
         frac = samples_seen / n_samples
         lr = phase.lr * 0.5 * (1 + jnp.cos(jnp.pi * frac)) if phase.schedule_lr else phase.lr
@@ -176,6 +209,8 @@ def train_wholenet(
         )
 
         imgs = next(data_iter)
+        if data_sharding is not None:
+            imgs = jax.device_put(imgs, data_sharding)
         step_key = jax.random.fold_in(key, i)
         state, opt_state, loss = step(
             state, opt_state, imgs, lmbda, step_key, lr, temp, noise

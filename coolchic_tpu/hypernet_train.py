@@ -30,6 +30,14 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--disable_wandb", action="store_true")
     p.add_argument(
+        "--grad_accum", type=int, default=1,
+        help="gradient accumulation micro-batches (reference: training.py:322-326)",
+    )
+    p.add_argument(
+        "--data_parallel", type=int, default=0,
+        help="shard batches over this many devices (0 = single device)",
+    )
+    p.add_argument(
         "--checkpointing_freq",
         type=int,
         default=None,
@@ -135,6 +143,11 @@ def main(argv=None) -> int:
         },
         disable=args.disable_wandb,
     )
+    mesh = None
+    if args.data_parallel:
+        from coolchic_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, axis_name="data")
     best, logs = train_wholenet(
         net,
         state,
@@ -148,6 +161,8 @@ def main(argv=None) -> int:
         unfreeze_backbone_samples=unfreeze,
         workdir=workdir,
         checkpointing_freq_samples=args.checkpointing_freq,
+        grad_accumulation_steps=args.grad_accum,
+        mesh=mesh,
     )
     cclog.finish()
     save_checkpoint(best, workdir / f"samples_{n_samples}.pkl", n_samples)

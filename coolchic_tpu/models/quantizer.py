@@ -84,7 +84,7 @@ def quantize(
         noise = kumaraswamy_noise(u, noise_parameter)
 
     if quantizer_type == "none":
-        return x + noise
+        return x if noise is None else x + noise
     if quantizer_type == "softround_alone":
         return softround(x, soft_round_temperature)
     if quantizer_type == "softround":

@@ -220,3 +220,58 @@ def test_double_backbone_forward():
     out, rate = net.forward(state, img, key=jax.random.PRNGKey(1))
     assert out.shape == (1, 3, 32, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_grad_accumulation_matches_big_batch():
+    """k accumulated micro-batches == one step on the concatenated batch
+    (deterministic quantizer so the only difference is batching)."""
+    from coolchic_tpu.hypernet.training import make_wholenet_train_step
+
+    phase = TrainerPhase(
+        lr=1e-3, max_itr=1, quantizer_type="none", quantizer_noise_type="none",
+        softround_temperature=(0.3, 0.3), noise_parameter=(0.0, 0.0),
+    )
+    net = NOWholeNet(CFG, n_hidden_channels=8)
+    state = net.init(jax.random.PRNGKey(0))
+    b1 = jnp.asarray(next(synthetic_batches(2, CFG.img_size, seed=1)))
+    b2 = jnp.asarray(next(synthetic_batches(2, CFG.img_size, seed=2)))
+    big = jnp.concatenate([b1, b2])
+    k = jax.random.PRNGKey(3)
+
+    tx1, step1 = make_wholenet_train_step(net, phase)
+    s_big, _, _ = step1(state, tx1.init(state), big, 1e-3, k, 1e-3, 0.3, 0.0)
+
+    tx2, step2 = make_wholenet_train_step(net, phase, grad_accumulation_steps=2)
+    opt = tx2.init(state)
+    s_acc, opt, _ = step2(state, opt, b1, 1e-3, k, 1e-3, 0.3, 0.0)
+    # between updates MultiSteps emits zero deltas
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: jnp.allclose(a, b), s_acc, state)
+    )
+    s_acc, opt, _ = step2(s_acc, opt, b2, 1e-3, k, 1e-3, 0.3, 0.0)
+    flat1 = jnp.concatenate([a.ravel() for a in jax.tree.leaves(s_big)])
+    flat2 = jnp.concatenate([a.ravel() for a in jax.tree.leaves(s_acc)])
+    np.testing.assert_allclose(np.asarray(flat1), np.asarray(flat2), atol=1e-5)
+
+
+def test_data_parallel_training_runs():
+    """Batch-sharded training over the 8-device virtual CPU mesh."""
+    from coolchic_tpu.hypernet.training import train_wholenet as tw
+    from coolchic_tpu.parallel.mesh import make_mesh
+
+    phase = TrainerPhase(
+        lr=1e-3, max_itr=1, quantizer_type="softround",
+        quantizer_noise_type="gaussian",
+        softround_temperature=(0.3, 0.3), noise_parameter=(0.25, 0.25),
+    )
+    net = NOWholeNet(CFG, n_hidden_channels=8)
+    state = net.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(8, axis_name="data")
+    data = map(jnp.asarray, synthetic_batches(8, CFG.img_size, seed=4))
+    eval_imgs = jnp.asarray(next(synthetic_batches(8, CFG.img_size, seed=5)))
+    best, logs = tw(
+        net, state, data, eval_imgs, lmbda=1e-3, phase=phase,
+        key=jax.random.PRNGKey(6), n_samples=32, batch_size=8,
+        freq_valid_samples=16, verbose=False, mesh=mesh,
+    )
+    assert logs and np.isfinite(logs[-1].eval_loss)
