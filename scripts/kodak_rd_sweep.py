@@ -56,7 +56,7 @@ DEV_CHUNK = 4  # jobs per DEVICE call: XLA lays several conv-gradient temps
 # out as f32[b,3,512,768]{1,0,3,2:T(8,128)} (minor dims = channel, batch ->
 # 42.7x tile padding, ~1.3G per temp at b=8), so the segmented phase program
 # at batch 8 compiles ~16M past the 15.75G HBM; batch 4 fits with ~11G slack
-SEG_ITERS = 2000  # max gradient iterations per TPU call
+SEG_ITERS = 2000  # max gradient iterations per TPU call (healthy chip)
 CKPT_EVERY = 4  # checkpoint the batch state every N segments
 
 BUDGETS = {  # (phase1 iters, n_loops) — reference cfg/enc/{fast,medium,slow}.cfg
@@ -156,6 +156,35 @@ def _load(path: Path):
         return pickle.load(f)
 
 
+def _chip_seg_iters() -> int:
+    """Probe the chip and bound the per-call device program so the tunnel
+    watchdog (kills programs running ~1-2 s) survives degraded states
+    (observed 21 TFLOP/s vs ~197 peak on this tunnel)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    n = 2048
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+
+    @jax.jit
+    def f(a):
+        y = (a @ a).astype(jnp.float32)
+        return (y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)).astype(jnp.bfloat16)
+
+    x = f(x)
+    _ = float(jnp.sum(x.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _i in range(4):
+        x = f(x)
+    _ = float(jnp.sum(x.astype(jnp.float32)))
+    tf = 4 * 2 * n**3 / (time.perf_counter() - t0) / 1e12
+    seg = SEG_ITERS if tf > 100 else (800 if tf > 40 else 300)
+    print(f"chip probe: {tf:.0f} TFLOP/s -> seg_iters {seg}", flush=True)
+    return tf, seg
+
+
 def cmd_encode(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -186,6 +215,7 @@ def cmd_encode(args) -> None:
     batches = job_list(args.budget)
     tdir = WORKDIR / "targets"
     seed = args.seed
+    _, seg_iters = _chip_seg_iters()
 
     for bi, batch in enumerate(batches):
         if args.batch is not None and bi != args.batch:
@@ -239,7 +269,14 @@ def cmd_encode(args) -> None:
                 ckpt(True)
             elif stage == "warmup_phase":
                 i = st["wp_idx"]
-                phase_w = wp[i].training_phase
+                # freq 100 splits the 400-iteration warm-up into four
+                # separately dispatched blocks (short device programs
+                # survive the degraded tunnel); best-tracking then sees 4
+                # validations per candidate instead of 1 — selection is
+                # still by loss on the same budget.
+                phase_w = type(wp[i].training_phase)(
+                    **{**wp[i].training_phase.__dict__, "freq_valid": 100}
+                )
                 n = wp[i].candidates
                 cand = st["cand"]  # host numpy
                 if i > 0:
@@ -281,11 +318,16 @@ def cmd_encode(args) -> None:
                     ps = jax.vmap(
                         lambda p, t, l, k: init_phase_state(p, t, l, k, cfg, phase_w)
                     )(cflat, ct, cl, ck)
-                    ps = jax.vmap(
-                        lambda s, t, l: run_phase_blocks(
-                            s, t, l, jnp.int32(0), cfg, phase_w, nfb
-                        )
-                    )(ps, ct, cl)
+                    blocks_per_call = max(1, seg_iters // freq)
+                    b0 = 0
+                    while b0 < nfb:
+                        nb = min(blocks_per_call, nfb - b0)
+                        ps = jax.vmap(
+                            lambda s, t, l: run_phase_blocks(
+                                s, t, l, jnp.int32(b0), cfg, phase_w, nb
+                            )
+                        )(ps, ct, cl)
+                        b0 += nb
                     if rem:
                         ps = jax.vmap(
                             lambda s, t, l: run_phase_rem_block(
@@ -349,7 +391,7 @@ def cmd_encode(args) -> None:
                 pi = st["phase_idx"]
                 phase = phases[pi]
                 freq, nfb, rem, _ = _phase_geometry(phase)
-                seg_blocks = max(1, SEG_ITERS // freq)
+                seg_blocks = max(1, seg_iters // freq)
                 b0 = st["block"]
                 ps = st["ps"]
                 if b0 < nfb:
@@ -429,13 +471,37 @@ def cmd_encode(args) -> None:
             )
 
 
+def cmd_probe(_args) -> None:
+    try:
+        tf, seg = _chip_seg_iters()
+    except Exception as e:  # crashed worker etc: definitely unhealthy
+        print(f"probe failed: {e}", flush=True)
+        raise SystemExit(2)
+    # 0 = healthy, 3 = degraded-but-workable, 2 = too sick to try
+    raise SystemExit(0 if seg >= 800 else (3 if tf >= 10 else 2))
+
+
 def cmd_run(args) -> None:
     """Loop `encode` in fresh subprocesses until every batch is final
-    (fresh process + cooldown recovers from tunnel crashes)."""
+    (fresh process + cooldown recovers from tunnel crashes). Before each
+    attempt a probe subprocess gates on chip health: a freshly crashed
+    tunnel reads ~2 TFLOP/s and hammering it with work keeps it sick —
+    wait (up to ~30 min) for recovery instead."""
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     for attempt in range(args.max_attempts):
+        for wait_round in range(10):
+            pr = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "probe"],
+                env=env, cwd="/root/repo", capture_output=True, text=True,
+                timeout=600,
+            )
+            print((pr.stdout or "").strip(), flush=True)
+            if pr.returncode in (0, 3):  # healthy or stably-degraded: go
+                break
+            print(f"[health] chip degraded; waiting 180 s", flush=True)
+            time.sleep(180)
         n_final = sum(
             1 for bi in range(len(job_list(args.budget))) if _batch_paths(bi)[2].exists()
         )
@@ -564,7 +630,7 @@ def main():
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, fn in [("targets", cmd_targets), ("encode", cmd_encode),
                      ("run", cmd_run), ("finalize", cmd_finalize),
-                     ("status", cmd_status)]:
+                     ("status", cmd_status), ("probe", cmd_probe)]:
         p = sub.add_parser(name)
         p.set_defaults(fn=fn)
         p.add_argument("--budget", choices=list(BUDGETS), default="fast")
