@@ -113,3 +113,37 @@ def test_cli_encode_decode_roundtrip(tmp_path):
     # Debug preset trains 70 iterations: only demand basic fidelity sanity.
     mse = float(np.mean((dec - img) ** 2))
     assert mse < 0.2
+
+
+@pytest.mark.slow
+def test_encode_simpler_cli(tmp_path):
+    """The step-by-step simple encoder produces a decodable bitstream
+    (reference: encode_simpler.py)."""
+    from coolchic_tpu.io import write_png
+
+    y, x = np.meshgrid(np.linspace(0, 1, 24), np.linspace(0, 1, 32), indexing="ij")
+    img = np.stack([x, y, 0.5 * (x + y)], 0).astype(np.float32)
+    src = tmp_path / "tiny.png"
+    write_png(img, str(src))
+    out_bs = tmp_path / "tiny.cool"
+
+    from coolchic_tpu.encode_simpler import main as simple_main
+
+    rc = simple_main(
+        [
+            "-i", str(src),
+            "-o", str(out_bs),
+            "--budget", "debug",
+            "--dim_arm", "8",
+            "--n_hidden_layers_arm", "1",
+            "--n_ft_per_res", "1,1,1",
+            "--layers_synthesis", "8-1-linear-relu,X-1-linear-none",
+        ]
+    )
+    assert rc == 0
+    assert out_bs.exists() and out_bs.stat().st_size > 20
+
+    from coolchic_tpu.bitstream import decode_bitstream
+
+    decoded, _ = decode_bitstream(out_bs.read_bytes(), integer_pipeline=True)
+    assert decoded.shape == (3, 24, 32)
