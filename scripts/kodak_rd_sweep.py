@@ -492,15 +492,20 @@ def cmd_run(args) -> None:
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     for attempt in range(args.max_attempts):
         for wait_round in range(10):
-            pr = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "probe"],
-                env=env, cwd="/root/repo", capture_output=True, text=True,
-                timeout=600,
-            )
-            print((pr.stdout or "").strip(), flush=True)
-            if pr.returncode in (0, 3):  # healthy or stably-degraded: go
+            try:
+                pr = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "probe"],
+                    env=env, cwd="/root/repo", capture_output=True, text=True,
+                    timeout=180,
+                )
+                rc = pr.returncode
+                print((pr.stdout or "").strip(), flush=True)
+            except subprocess.TimeoutExpired:
+                rc = 2  # hung transfer = crashed worker
+                print("[health] probe hung (180 s)", flush=True)
+            if rc in (0, 3):  # healthy or stably-degraded: go
                 break
-            print(f"[health] chip degraded; waiting 180 s", flush=True)
+            print("[health] chip degraded; waiting 180 s", flush=True)
             time.sleep(180)
         n_final = sum(
             1 for bi in range(len(job_list(args.budget))) if _batch_paths(bi)[2].exists()
@@ -511,14 +516,17 @@ def cmd_run(args) -> None:
             return
         print(f"[attempt {attempt}] {n_final}/{total} batches final; encoding...",
               flush=True)
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "encode",
-             "--budget", args.budget, "--seed", str(args.seed)],
-            env=env, cwd="/root/repo",
-        )
-        if p.returncode != 0:
-            print(f"encode worker died (rc={p.returncode}); cooldown 90 s",
-                  flush=True)
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "encode",
+                 "--budget", args.budget, "--seed", str(args.seed)],
+                env=env, cwd="/root/repo", timeout=7200,
+            )
+            rc = p.returncode
+        except subprocess.TimeoutExpired:
+            rc = -1  # hung device transfer; progress is checkpointed
+        if rc != 0:
+            print(f"encode worker died (rc={rc}); cooldown 90 s", flush=True)
             time.sleep(90)
     raise SystemExit("run: attempts exhausted")
 
