@@ -58,6 +58,10 @@ class CoolChicConfig:
     ups_preconcat_k_size: int = 7
     out_channels: int = 3
     frame_data_type: str = "rgb"
+    frame_type: str = "I"  # "I" | "P" | "B": inter frames synthesize extra
+    # flow/gain channels consumed by the motion-compensated prediction
+    # (out_channels 6 / 9; reference: cpp/ccdecapi.cpp process_inter)
+    flow_gain: int = 1
 
     def __post_init__(self):
         assert self.dim_arm in (8, 16, 24, 32), (
@@ -69,6 +73,12 @@ class CoolChicConfig:
         assert self.ups_preconcat_k_size % 2 == 1, (
             f"Pre-concat kernel size must be odd, found {self.ups_preconcat_k_size}"
         )
+        assert self.frame_type in ("I", "P", "B"), self.frame_type
+        if self.frame_type == "P":
+            assert self.out_channels == 6, "P frames synthesize 6 channels"
+        if self.frame_type == "B":
+            assert self.out_channels == 9, "B frames synthesize 9 channels"
+
 
     # ----- Derived static shapes ------------------------------------------------
     @property

@@ -225,12 +225,17 @@ def frame_forward(
     training: bool = True,
     bitdepth: int = 8,
     valid_hw: Optional[jax.Array] = None,
+    refs: Optional[Tuple[jax.Array, ...]] = None,
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Frame-level forward (reference: coolchic/enc/component/frame.py:93-196).
 
-    On top of ``coolchic_forward``: in eval mode, simulate the round-trip to
-    an integer file (round to ``2^bitdepth - 1`` levels) then clamp to
-    [0, 1]. (YUV420 down-conversion is handled by the YUV I/O layer.)
+    On top of ``coolchic_forward``: for P/B frames (``cfg.frame_type``),
+    the synthesized flow/gain channels motion-compensate the reference
+    frame(s) in ``refs`` (float twin of the decoder's process_inter; the
+    reference encoder has this step commented out, frame.py:165-172 — here
+    it is wired). In eval mode, simulate the round-trip to an integer file
+    (round to ``2^bitdepth - 1`` levels) then clamp to [0, 1]. (YUV420
+    down-conversion is handled by the YUV I/O layer.)
     """
     raw_out, rate, extras = coolchic_forward(
         params,
@@ -244,7 +249,18 @@ def frame_forward(
         training=training,
         valid_hw=valid_hw,
     )
-    decoded = raw_out
+    if cfg.frame_type == "I":
+        decoded = raw_out
+    else:
+        from coolchic_tpu.video.intercoding import inter_predict
+
+        assert refs is not None and len(refs) >= 1, (
+            f"{cfg.frame_type} frame forward needs reference frame(s)"
+        )
+        decoded = inter_predict(
+            raw_out, refs[0], refs[1] if cfg.frame_type == "B" else None,
+            cfg.flow_gain,
+        )
     if not training:
         max_dynamic = 2.0**bitdepth - 1.0
         decoded = jnp.round(decoded * max_dynamic) / max_dynamic

@@ -130,6 +130,9 @@ def quantize_module(
     valid_hw=None,
 ) -> Tuple[Params, ModuleQuantInfo]:
     """RD-search the (q_step_w, q_step_b) grid for one module."""
+    from coolchic_tpu.train.step import split_target
+
+    target, refs = split_target(cfg, target)
     w_steps = np.asarray(Q_STEPS[module]["weight"], np.float32)
     b_steps = np.asarray(Q_STEPS[module]["bias"], np.float32)
     weights, biases = _module_leaves(params, module)
@@ -152,7 +155,9 @@ def quantize_module(
         valid = valid_w & valid_b
 
         trial = _rebuild_module(params, module, qw, qb)
-        decoded, rate, _ = frame_forward(trial, cfg, training=False, valid_hw=valid_hw)
+        decoded, rate, _ = frame_forward(
+            trial, cfg, training=False, valid_hw=valid_hw, refs=refs
+        )
 
         bits_w_all = expgol_bits_all_counts(int_w)
         bits_w, cnt_w = jnp.min(bits_w_all), jnp.argmin(bits_w_all)

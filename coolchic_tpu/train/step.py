@@ -70,13 +70,27 @@ def grad_mask(params: Params, optimized_module: Tuple[str, ...]) -> Params:
     }
 
 
+def split_target(cfg: CoolChicConfig, target_ex: jax.Array):
+    """P/B frames ride their decoded reference frame(s) concatenated after
+    the 3 target channels ([3+3(+3), H, W]) so the whole phase engine keeps
+    its single-`target` signature; split them back out."""
+    if cfg.frame_type == "I":
+        return target_ex, None
+    if cfg.frame_type == "P":
+        return target_ex[:3], (target_ex[3:6],)
+    return target_ex[:3], (target_ex[3:6], target_ex[6:9])
+
+
 def eval_metrics(
     params: Params, cfg: CoolChicConfig, target: jax.Array, lmbda, rate_nn_bits=0.0,
     valid_hw=None,
 ) -> LossOutput:
     """Eval-mode test: hardround quantizer, no noise, bitdepth rounding
     (reference: enc/training/test.py:369-438)."""
-    decoded, rate, _ = frame_forward(params, cfg, training=False, valid_hw=valid_hw)
+    target, refs = split_target(cfg, target)
+    decoded, rate, _ = frame_forward(
+        params, cfg, training=False, valid_hw=valid_hw, refs=refs
+    )
     return loss_function(
         decoded, rate, target, lmbda, rate_nn_bits,
         frame_data_type=cfg.frame_data_type,
@@ -163,7 +177,7 @@ def make_train_step(cfg: CoolChicConfig, phase: TrainerPhase, remat: bool = True
     that lets 2-4x more images overfit per chip."""
     tx = make_optimizer()
 
-    def _forward(p, step_key, temp, noise):
+    def _forward(p, step_key, temp, noise, refs):
         return frame_forward(
             p,
             cfg,
@@ -174,12 +188,14 @@ def make_train_step(cfg: CoolChicConfig, phase: TrainerPhase, remat: bool = True
             noise_parameter=noise,
             training=True,
             valid_hw=valid_hw,
+            refs=refs,
         )
 
     fwd = jax.checkpoint(_forward) if remat else _forward
 
     def loss_fn(p, target, lmbda, step_key, temp, noise):
-        decoded, rate, _ = fwd(p, step_key, temp, noise)
+        target, refs = split_target(cfg, target)
+        decoded, rate, _ = fwd(p, step_key, temp, noise, refs)
         return loss_function(
             decoded, rate, target, lmbda, frame_data_type=cfg.frame_data_type,
             valid_hw=valid_hw,

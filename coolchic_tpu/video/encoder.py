@@ -7,10 +7,13 @@ per-depth lambda scaling, state checkpoints after every frame enable
 time-sliced requeue (the reference's SLURM REQUEUE protocol,
 video.py:394-397, enc/utils/misc.py:43-64).
 
-The reference's inter-prediction module is bypassed in its own forward
-(frame.py:165-172), so frames are coded as independent Cool-chic images;
-the coding structure contributes reference bookkeeping and the lambda
-hierarchy. P/B warping utilities live in video/intercoding.py.
+Inter frames are trained with the motion-compensated forward
+(models/coolchic.py frame_forward + video/intercoding.py inter_predict):
+P/B frames synthesize 6/9 channels (residue + flow + gains) warped against
+the decoded reference frames, exactly what the reference *decoder*
+reconstructs (cpp/ccdecapi.cpp process_inter) — the reference encoder has
+this step commented out (frame.py:165-172) and ours wires it, so the
+written streams are reference-decodable.
 """
 
 from __future__ import annotations
@@ -25,6 +28,8 @@ from typing import Any, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+import dataclasses
 
 from coolchic_tpu.bitstream.encode import encode_frame_bitstream
 from coolchic_tpu.bitstream.header import GopHeader, write_gop_header
@@ -67,6 +72,9 @@ class EncodedFrame:
     manager: FrameEncoderManager
     psnr_db: float
     rate_latent_bpp: float
+    # eval-decoded reconstruction [3, H, W]; the reference input of
+    # dependent P/B frames (reference: video.py:450-507 get_ref_data)
+    decoded: Optional[Any] = None
 
 
 class VideoEncoder:
@@ -119,6 +127,13 @@ class VideoEncoder:
 
             frame = self.coding_structure.get_frame_from_coding_order(idx_coding_order)
             target = self._load_frame(input_path, frame.display_order)
+            cfg_f = self.frame_cfg(frame.frame_type)
+            refs = self._refs_for(frame)
+            if refs:
+                # P/B: the reference frame(s) ride along the target so the
+                # whole phase engine keeps its (params, target) signature
+                # (train/step.py split_target).
+                target = jnp.concatenate([target, *refs], axis=0)
             lmbda = lmbda_from_depth(frame.depth, self.lmbda)
             manager = FrameEncoderManager(lmbda=lmbda)
             frame_start_time = time.time()
@@ -127,14 +142,25 @@ class VideoEncoder:
             for loop in range(self.n_loops):
                 key = jax.random.PRNGKey(seed + 7919 * idx_coding_order + loop)
                 result, infos = encode_frame_with_quant_info(
-                    key, target, lmbda, self.cfg, self.preset
+                    key, target, lmbda, cfg_f, self.preset
                 )
                 manager.loop_counter += 1
                 if best is None or float(result.loss) < manager.best_loss:
                     manager.best_loss = float(result.loss)
                     best = (result, infos)
             result, infos = best
-            manager.total_training_time_sec += time.time() - frame_start_time
+            manager.total_training_time_sec = time.time() - frame_start_time
+
+            # Reconstruct the frame exactly as a decoder would see it (the
+            # reference for any dependent frame).
+            from coolchic_tpu.models.coolchic import frame_forward
+            from coolchic_tpu.train.step import split_target
+
+            _, ref_tuple = split_target(cfg_f, target)
+            decoded, _, _ = frame_forward(
+                jax.tree.map(jnp.asarray, result.params), cfg_f,
+                training=False, bitdepth=self.bitdepth, refs=ref_tuple,
+            )
 
             self.all_frame_encoders[str(idx_coding_order)] = EncodedFrame(
                 params=jax.tree.map(np.asarray, result.params),
@@ -142,6 +168,7 @@ class VideoEncoder:
                 manager=manager,
                 psnr_db=float(result.psnr_db),
                 rate_latent_bpp=float(result.rate_latent_bpp),
+                decoded=np.asarray(decoded),
             )
             if verbose:
                 print(
@@ -156,6 +183,29 @@ class VideoEncoder:
                 return TrainingExitCode.REQUEUE
 
         return TrainingExitCode.END
+
+    # ------------------------------------------------------------------ #
+    def frame_cfg(self, frame_type: str) -> CoolChicConfig:
+        """Per-frame-type architecture: P/B synthesize 6/9 channels
+        (residue + motion; reference: video.py:151-165 synthesis widths)."""
+        return dataclasses.replace(
+            self.cfg,
+            frame_type=frame_type,
+            out_channels={"I": 3, "P": 6, "B": 9}[frame_type],
+        )
+
+    def _refs_for(self, frame) -> List[jnp.ndarray]:
+        """Decoded reference frames, earliest first
+        (reference: video.py:450-507)."""
+        refs = []
+        for disp in frame.index_references:
+            ref_frame = self.coding_structure.get_frame_from_display_order(disp)
+            enc = self.all_frame_encoders.get(str(ref_frame.coding_order))
+            assert enc is not None and enc.decoded is not None, (
+                f"reference frame (display {disp}) not yet encoded"
+            )
+            refs.append(jnp.asarray(enc.decoded))
+        return refs
 
     # ------------------------------------------------------------------ #
     def to_bitstream(self, hls_sig_blksize: int = 16) -> bytes:
@@ -177,6 +227,7 @@ class VideoEncoder:
                 "write a bitstream (use a preset with quantize_model)."
             )
             frame = self.coding_structure.get_frame_from_coding_order(idx)
+            cfg_f = self.frame_cfg(frame.frame_type)
             nn_q_step = {
                 m: {"weight": float(i.q_step_w), "bias": float(i.q_step_b)}
                 for m, i in enc.infos.items()
@@ -187,11 +238,12 @@ class VideoEncoder:
             }
             frame_bytes, _, _ = encode_frame_bitstream(
                 jax.tree.map(jnp.asarray, enc.params),
-                self.cfg,
+                cfg_f,
                 nn_q_step,
                 nn_expgol,
                 display_index=frame.display_order,
                 hls_sig_blksize=hls_sig_blksize,
+                flow_gain=0 if frame.frame_type == "I" else cfg_f.flow_gain,
             )
             out += frame_bytes
         return out

@@ -61,3 +61,59 @@ def bipred(ref0: jax.Array, ref1: jax.Array, flow0: jax.Array, flow1: jax.Array,
     """Bi-directional prediction: beta-weighted blend of two warped
     references (reference: cpp/ccdecapi.cpp:602-646)."""
     return beta * warp(ref0, flow0) + (1.0 - beta) * warp(ref1, flow1)
+
+
+def warp_decoder_style(x: jax.Array, flow: jax.Array) -> jax.Array:
+    """Bilinear backward warp with BORDER CLAMPING — the float twin of the
+    fixed-point decoder's motion compensation (reference:
+    cpp/ccdecapi.cpp:496-600 warp; integer twin bitstream/inter.py
+    warp_int). Out-of-range samples replicate the edge instead of being
+    zeroed, so a model trained with this forward decodes to (nearly) the
+    same pixels through the integer pipeline."""
+    c, h, w = x.shape
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype),
+        indexing="ij",
+    )
+    sx = jnp.clip(xx + flow[0], 0.0, w - 1)
+    sy = jnp.clip(yy + flow[1], 0.0, h - 1)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = sx - x0
+    fy = sy - y0
+    return (
+        x[:, y0, x0] * (1 - fx) * (1 - fy)
+        + x[:, y0, x1] * fx * (1 - fy)
+        + x[:, y1, x0] * (1 - fx) * fy
+        + x[:, y1, x1] * fx * fy
+    )
+
+
+def inter_predict(
+    raw_out: jax.Array,
+    ref0: jax.Array,
+    ref1: jax.Array | None,
+    flow_gain: int | float = 1,
+) -> jax.Array:
+    """Float inter reconstruction from the synthesis output — the training
+    forward of P/B frames (float twin of the decoder's process_inter,
+    reference: cpp/ccdecapi.cpp:649-671; integer twin
+    bitstream/inter.py process_inter_int).
+
+    Channel layout (reference raw_cc_output):
+      P (6): residue[0:3], flow xy[3:5], alpha[5]
+      B (9): residue[0:3], flow0 xy[3:5], alpha[5], flow1 xy[6:8], beta[8]
+    with gain channels mapped through ``clip(v + 0.5, 0, 1)``.
+    """
+    c = raw_out.shape[0]
+    alpha = jnp.clip(raw_out[5] + 0.5, 0.0, 1.0)
+    if c == 6:
+        pred = warp_decoder_style(ref0, raw_out[3:5] * flow_gain)
+        return pred * alpha + raw_out[:3]
+    assert c == 9 and ref1 is not None
+    beta = jnp.clip(raw_out[8] + 0.5, 0.0, 1.0)
+    p0 = warp_decoder_style(ref0, raw_out[3:5] * flow_gain) * beta
+    p1 = warp_decoder_style(ref1, raw_out[6:8] * flow_gain) * (1.0 - beta)
+    return (p0 + p1) * alpha + raw_out[:3]

@@ -203,3 +203,52 @@ def test_bpred_alpha_zero_keeps_residue():
     raw[5] = -(1 << 11)  # alpha -> clip(0) = 0
     out = bpred_int(p0, p1, raw, gain_idx=5)
     np.testing.assert_array_equal(out, raw[:3])
+
+
+@pytest.mark.slow
+def test_trained_inter_video_reference_decodable(ccdec, tmp_path):
+    """End-to-end: VideoEncoder trains a real I+P GOP (motion-compensated
+    P-frame forward), writes a multi-frame stream, and the REFERENCE ccdec
+    decodes it byte-identically to our decoder — inter-coded streams from
+    this encoder are reference-conformant (the reference's own encoder
+    cannot produce them, frame.py:165-172)."""
+    import jax.numpy as jnp
+
+    from coolchic_tpu.io import write_yuv
+    from coolchic_tpu.models import CoolChicConfig
+    from coolchic_tpu.train.presets import Preset, TrainerPhase, Warmup
+    from coolchic_tpu.video import CodingStructure, VideoEncoder
+
+    h, w = H, W
+    y, x = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    f0 = np.stack([0.5 + 0.3 * np.sin(5 * x), y * 0.8, 0.5 * (x + y)], 0)
+    f1 = np.roll(f0, 2, axis=-1)  # pure translation: P frame's best case
+    seq = tmp_path / f"seq_{w}x{h}_25fps_yuv444_8b.yuv"
+    for fr in (f0, f1):
+        write_yuv(jnp.asarray(fr), 8, "yuv444", str(seq))
+
+    cfg = CoolChicConfig(
+        img_size=(h, w), n_ft_per_res=(1, 1, 1), dim_arm=8,
+        n_hidden_layers_arm=1,
+        layers_synthesis=("16-1-linear-relu", "X-1-linear-none", "X-3-residual-relu"),
+    )
+    phase = TrainerPhase(
+        lr=1e-2, max_itr=150, freq_valid=50, patience=10000, schedule_lr=True,
+        quantizer_type="softround", quantizer_noise_type="gaussian",
+        softround_temperature=(0.3, 0.1), noise_parameter=(0.25, 0.1),
+    )
+    q_phase = TrainerPhase(
+        lr=1e-3, max_itr=10, quantizer_type="ste", quantizer_noise_type="none",
+        quantize_model=True, softround_temperature=(1e-4, 1e-4),
+    )
+    preset = Preset(preset_name="micro", all_phases=(phase, q_phase), warmup=Warmup())
+    enc = VideoEncoder(
+        CodingStructure(intra_period=1, p_period=1, seq_name="seq"),
+        cfg, preset, lmbda=1e-3,
+    )
+    enc.encode(str(seq), verbose=False)
+    bs = enc.to_bitstream()
+
+    ref = _ref_decode_yuv(ccdec, bs, tmp_path, 2)
+    ours = _our_decode_yuv(bs)
+    np.testing.assert_array_equal(ours, ref)
