@@ -477,8 +477,11 @@ def cmd_probe(_args) -> None:
     except Exception as e:  # crashed worker etc: definitely unhealthy
         print(f"probe failed: {e}", flush=True)
         raise SystemExit(2)
-    # 0 = healthy, 3 = degraded-but-workable, 2 = too sick to try
-    raise SystemExit(0 if seg >= 800 else (3 if tf >= 10 else 2))
+    # 0 = healthy, 3 = degraded-but-workable, 2 = too sick to try.
+    # Post layout-fix the 1.9G programs survive even a ~2 TFLOP/s chip
+    # (measured 196 img-it/s without worker kills), so only a crashed
+    # probe or a near-dead chip blocks an attempt.
+    raise SystemExit(0 if seg >= 800 else (3 if tf >= 1.0 else 2))
 
 
 def cmd_run(args) -> None:
