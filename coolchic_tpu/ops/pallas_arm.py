@@ -146,21 +146,31 @@ def arm_rate_pallas(
     return rate[:h, :w]
 
 
+_PALLAS_OK: Dict = {}  # (dim_arm, n_hidden) -> bool, learned at first call
+
+
 def arm_rate(
     latent: jax.Array, arm_params: Dict, dim_arm: int, n_hidden: int
 ) -> jax.Array:
     """Rate map with automatic backend choice.
 
-    The Pallas kernel is bit-accurate f32 (verified 2e-6 vs
+    The Pallas kernel is bit-accurate f32 (verified ~2e-6 vs
     default_matmul_precision('float32') XLA on TPU, while the default XLA
-    path carries ~5e-2 bf16 matmul error in mu), but the Mosaic toolchain
-    in this environment rejects the fully unrolled dim_arm=24+ program —
-    fall back to XLA there."""
-    if dim_arm <= 16:
+    path carries ~5e-2 bf16 matmul error in mu). All stencil widths
+    including the flagship dim_arm=24 compile on the current Mosaic
+    toolchain; if a future toolchain rejects a shape again, the failure is
+    cached and that shape permanently falls back to XLA."""
+    key = (dim_arm, n_hidden)
+    if _PALLAS_OK.get(key, True):
         interpret = jax.default_backend() == "cpu"
-        return arm_rate_pallas(
-            latent, arm_params, dim_arm, n_hidden, interpret=interpret
-        )
+        try:
+            out = arm_rate_pallas(
+                latent, arm_params, dim_arm, n_hidden, interpret=interpret
+            )
+            _PALLAS_OK[key] = True
+            return out
+        except Exception:
+            _PALLAS_OK[key] = False
     from coolchic_tpu.models.arm import arm_apply, get_neighbors, latent_rate_bits
 
     ctx = get_neighbors(latent[None], dim_arm)

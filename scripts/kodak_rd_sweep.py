@@ -499,13 +499,13 @@ def cmd_run(args) -> None:
                 pr = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "probe"],
                     env=env, cwd="/root/repo", capture_output=True, text=True,
-                    timeout=180,
+                    timeout=600,  # degraded-tunnel compiles run ~5 min
                 )
                 rc = pr.returncode
                 print((pr.stdout or "").strip(), flush=True)
             except subprocess.TimeoutExpired:
                 rc = 2  # hung transfer = crashed worker
-                print("[health] probe hung (180 s)", flush=True)
+                print("[health] probe hung (600 s)", flush=True)
             if rc in (0, 3):  # healthy or stably-degraded: go
                 break
             print("[health] chip degraded; waiting 180 s", flush=True)

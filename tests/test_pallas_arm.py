@@ -22,7 +22,7 @@ def reference_rate(latent_plane, params, dim_arm):
     )
 
 
-@pytest.mark.parametrize("dim_arm,n_hidden", [(8, 1), (24, 2)])
+@pytest.mark.parametrize("dim_arm,n_hidden", [(8, 1), (24, 2), (32, 2)])
 @pytest.mark.parametrize("hw", [(16, 24), (37, 130)])
 def test_pallas_rate_matches_xla(dim_arm, n_hidden, hw):
     key = jax.random.PRNGKey(0)
@@ -41,11 +41,12 @@ def test_pallas_rate_matches_xla(dim_arm, n_hidden, hw):
 
 
 def test_arm_rate_dispatcher():
-    """dim_arm <= 16 -> pallas; larger -> XLA fallback. Both must agree with
+    """All widths run the pallas kernel (XLA fallback only if Mosaic
+    rejects a shape, cached per shape). Every width must agree with
     the reference implementation (CPU: both are f32-exact)."""
     from coolchic_tpu.ops.pallas_arm import arm_rate
 
-    for dim_arm, n_hidden in [(8, 1), (24, 2)]:
+    for dim_arm, n_hidden in [(8, 1), (24, 2), (32, 2)]:
         params = init_arm_params(jax.random.PRNGKey(0), dim_arm, n_hidden)
         latent = jnp.round(jax.random.normal(jax.random.PRNGKey(2), (16, 24)) * 2.0)
         got = arm_rate(latent, params, dim_arm, n_hidden)
