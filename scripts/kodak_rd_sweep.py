@@ -489,7 +489,20 @@ def cmd_run(args) -> None:
     (fresh process + cooldown recovers from tunnel crashes). Before each
     attempt a probe subprocess gates on chip health: a freshly crashed
     tunnel reads ~2 TFLOP/s and hammering it with work keeps it sick —
-    wait (up to ~30 min) for recovery instead."""
+    wait (up to ~30 min) for recovery instead.
+
+    A pidfile lock guarantees a single run loop: concurrent loops race the
+    per-batch state checkpoints (os.replace of a shared .tmp)."""
+    lock = WORKDIR / "run.pid"
+    if lock.exists():
+        try:
+            other = int(lock.read_text())
+            os.kill(other, 0)  # raises if gone
+            raise SystemExit(f"run loop already active (pid {other})")
+        except (ValueError, ProcessLookupError, PermissionError):
+            pass
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.write_text(str(os.getpid()))
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
