@@ -162,3 +162,50 @@ def test_reference_decoder_reads_hypernet_bitstream(ccdec, tmp_path):
     ref_img, _ = read_ppm(str(out_ppm))
     my_int, _ = decode_bitstream(bs, integer_pipeline=True)
     np.testing.assert_allclose(ref_img, my_int, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_reference_decoder_reads_flagship_config_bitstream(ccdec, tmp_path):
+    """Encode direction at the FLAGSHIP operating point (dim_arm=24, 2
+    hidden layers, 7 latent grids, 48-wide synthesis — the published-Kodak
+    architecture): our bitstream through the reference ccdec, bit-exact
+    vs our integer pipeline. Round 1 only exercised flagship in the decode
+    direction (published bitstreams)."""
+    from coolchic_tpu.bitstream import decode_bitstream, encode_image_bitstream
+    from coolchic_tpu.io import read_ppm
+    from coolchic_tpu.models import CoolChicConfig, init_coolchic_params
+    from coolchic_tpu.train import TrainerPhase, run_phase
+    from coolchic_tpu.train.quantize_model import quantize_model_with_info
+
+    cfg = CoolChicConfig(img_size=(128, 160))  # flagship defaults
+    y, x = jnp.meshgrid(
+        jnp.linspace(0, 1, 128), jnp.linspace(0, 1, 160), indexing="ij"
+    )
+    target = jnp.stack(
+        [0.5 + 0.4 * jnp.sin(7 * x + 2 * y), y * 0.8 + 0.1, 0.5 * (x + y)], 0
+    )
+    params = init_coolchic_params(jax.random.PRNGKey(0), cfg)
+    phase = TrainerPhase(
+        lr=1e-2, max_itr=250, freq_valid=50, schedule_lr=True,
+        quantizer_type="softround", quantizer_noise_type="gaussian",
+        softround_temperature=(0.3, 0.1), noise_parameter=(0.25, 0.1),
+    )
+    params, _ = run_phase(params, target, 2e-3, jax.random.PRNGKey(1), cfg, phase)
+    qparams, infos = quantize_model_with_info(params, target, 2e-3, cfg)
+    nn_q = {m: {"weight": float(i.q_step_w), "bias": float(i.q_step_b)}
+            for m, i in infos.items()}
+    nn_g = {m: {"weight": int(i.expgol_w), "bias": int(i.expgol_b)}
+            for m, i in infos.items()}
+    bs = encode_image_bitstream(qparams, cfg, nn_q, nn_g)
+
+    bpath = tmp_path / "flagship.cool"
+    bpath.write_bytes(bs)
+    out_ppm = tmp_path / "refdec.ppm"
+    r = subprocess.run(
+        [str(ccdec), f"--input={bpath}", f"--output={out_ppm}", "--cpu"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, f"reference decoder failed: {r.stdout}{r.stderr}"
+    ref_img, _ = read_ppm(str(out_ppm))
+    my_int, _ = decode_bitstream(bs, integer_pipeline=True)
+    np.testing.assert_allclose(ref_img, my_int, atol=1e-5)
