@@ -48,8 +48,11 @@ BASELINE_S_PER_IMAGE = C3X_FAST_TOTAL_ITERS / 160.0  # ~96 s; see module docstri
 
 PHASE_ITERS = 600
 N_TRIALS = 3
+BATCHES = (8, 32)  # 32 fits since the layout-proof ups/syn rework
+# (1.9G HBM temps at batch 8, 7.8G at 32); the headline is the best
+# amortized s/image across batch sizes.
 COOLDOWN_S = 90
-WORKER_TIMEOUT_S = 360
+WORKER_TIMEOUT_S = 480
 MAX_LAUNCHES = 3
 
 
@@ -115,10 +118,14 @@ def measure(batch: int, trial: int) -> float:
     lmbdas = jnp.full((batch,), 1e-3)
 
     run = jax.jit(jax.vmap(lambda p, t, l, k: run_phase(p, t, l, k, cfg, phase)))
+    t_warm = time.perf_counter()
     params, logs = run(params, targets, lmbdas, keys)  # compile + warm
     _ = float(jnp.sum(logs.loss))
+    warm_dt = time.perf_counter() - t_warm
 
-    n_calls = 4
+    # A degraded tunnel runs 10-100x slow; shrink the timed chain so the
+    # trial still completes inside the worker timeout.
+    n_calls = 4 if warm_dt < 20 else 1
     t0 = time.perf_counter()
     for i in range(n_calls):
         keys = jax.random.split(jax.random.fold_in(base, 2 + i), batch)
@@ -131,7 +138,7 @@ def measure(batch: int, trial: int) -> float:
 
 def worker_main(batch: int, todo: list[str]) -> None:
     """Run the requested measurements, streaming one JSON line each.
-    `todo` entries: "probe:<seed>" or "trial:<i>"."""
+    `todo` entries: "probe:<seed>" or "trial:<batch>x<i>"."""
     import jax
 
     dev = jax.devices()[0]
@@ -143,8 +150,9 @@ def worker_main(batch: int, todo: list[str]) -> None:
         if kind == "probe":
             v = probe_matmul_tflops(int(arg))
         else:
-            v = measure(batch, int(arg))
-        print(json.dumps({"kind": kind, "arg": int(arg), "value": v}), flush=True)
+            b, _, t = arg.partition("x")
+            v = measure(int(b), int(t))
+        print(json.dumps({"kind": kind, "arg": arg, "value": v}), flush=True)
 
 
 # ------------------------------------------------------------ orchestrator
@@ -164,7 +172,11 @@ def main():
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
 
     batch = 8
-    todo = [f"probe:10"] + [f"trial:{t}" for t in range(N_TRIALS)] + ["probe:11"]
+    todo = (
+        ["probe:10"]
+        + [f"trial:{b}x{t}" for b in BATCHES for t in range(N_TRIALS)]
+        + ["probe:11"]
+    )
     results: dict[str, float] = {}
     device = "?"
     last_err = ""
@@ -199,12 +211,22 @@ def main():
         if launch + 1 < MAX_LAUNCHES:
             time.sleep(COOLDOWN_S)
 
-    trials = [results[k] for k in sorted(results) if k.startswith("trial")]
-    if not trials:
+    per_batch = {
+        b: sorted(
+            results[k]
+            for k in results
+            if k.startswith(f"trial:{b}x")
+        )
+        for b in BATCHES
+        if any(k.startswith(f"trial:{b}x") for k in results)
+    }
+    if not per_batch:
         raise SystemExit(f"bench: no trial completed: {last_err}")
     probes = [results[k] for k in sorted(results) if k.startswith("probe")]
 
-    agg = sorted(trials)[len(trials) // 2]  # median: robust to one bad trial
+    medians = {b: ts[len(ts) // 2] for b, ts in per_batch.items()}
+    batch, agg = max(medians.items(), key=lambda kv: kv[1])
+    trials = per_batch[batch]
     spread = max(trials) / min(trials)
     if probes and max(probes) > 250:  # above v5e bf16 peak (~197)
         chip_state = "cache-suspect"
@@ -225,6 +247,9 @@ def main():
                 "detail": {
                     "batch": batch,
                     "train_it_per_s_aggregate": round(agg, 1),
+                    "per_batch_it_per_s": {
+                        str(b): round(v, 1) for b, v in medians.items()
+                    },
                     "trials_it_per_s": [round(t, 1) for t in trials],
                     "matmul_tflops": [round(x, 1) for x in probes],
                     "chip_state": chip_state,
