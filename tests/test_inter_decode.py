@@ -252,3 +252,52 @@ def test_trained_inter_video_reference_decodable(ccdec, tmp_path):
     ref = _ref_decode_yuv(ccdec, bs, tmp_path, 2)
     ours = _our_decode_yuv(bs)
     np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.slow
+def test_trained_hierarchical_gop_reference_decodable(ccdec, tmp_path):
+    """4-frame hierarchical GOP (I P B B at depths 0/1/2/2, intra_period=4,
+    p_period=4... compute_gop gives I + P(display 4)? -> use intra_period=2:
+    I, P(display 2), B(display 1)) trained end-to-end and decoded
+    byte-exactly by the reference ccdec."""
+    import jax.numpy as jnp
+
+    from coolchic_tpu.io import write_yuv
+    from coolchic_tpu.models import CoolChicConfig
+    from coolchic_tpu.train.presets import Preset, TrainerPhase, Warmup
+    from coolchic_tpu.video import CodingStructure, VideoEncoder
+
+    h, w = H, W
+    y, x = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    f0 = np.stack([0.5 + 0.3 * np.sin(5 * x), y * 0.8, 0.5 * (x + y)], 0)
+    frames = [f0, np.roll(f0, 1, -1), np.roll(f0, 2, -1)]
+    seq = tmp_path / f"hier_{w}x{h}_25fps_yuv444_8b.yuv"
+    for fr in frames:
+        write_yuv(jnp.asarray(fr), 8, "yuv444", str(seq))
+
+    cfg = CoolChicConfig(
+        img_size=(h, w), n_ft_per_res=(1, 1, 1), dim_arm=8,
+        n_hidden_layers_arm=1,
+        layers_synthesis=("16-1-linear-relu", "X-1-linear-none", "X-3-residual-relu"),
+    )
+    phase = TrainerPhase(
+        lr=1e-2, max_itr=100, freq_valid=50, patience=10000, schedule_lr=True,
+        quantizer_type="softround", quantizer_noise_type="gaussian",
+        softround_temperature=(0.3, 0.1), noise_parameter=(0.25, 0.1),
+    )
+    q_phase = TrainerPhase(
+        lr=1e-3, max_itr=10, quantizer_type="ste", quantizer_noise_type="none",
+        quantize_model=True, softround_temperature=(1e-4, 1e-4),
+    )
+    preset = Preset(preset_name="micro", all_phases=(phase, q_phase), warmup=Warmup())
+    cs = CodingStructure(intra_period=2, p_period=2)
+    # sanity on the structure itself: I (disp 0), P (disp 2), B (disp 1)
+    types = {f.display_order: f.frame_type for f in cs.frames}
+    assert types == {0: "I", 2: "P", 1: "B"}
+    enc = VideoEncoder(cs, cfg, preset, lmbda=1e-3)
+    enc.encode(str(seq), verbose=False)
+    bs = enc.to_bitstream()
+
+    ref = _ref_decode_yuv(ccdec, bs, tmp_path, 3)
+    ours = _our_decode_yuv(bs)
+    np.testing.assert_array_equal(ours, ref)
