@@ -317,7 +317,9 @@ def macs_per_pixel(cfg: CoolChicConfig) -> Dict[str, float]:
     for i in range(len(shapes) - 2, -1, -1):
         c_i, h_i, w_i = shapes[i]
         up_px = 4 * acc_px  # 2x upsampling of the running tensor
-        ups_macs += up_px * 2 * cfg.ups_k_size
+        # polyphase x2: each output needs ups_k/2 taps per 1-D pass
+        # (2 passes -> ups_k MACs/output), as the decoder runs it
+        ups_macs += up_px * cfg.ups_k_size
         ups_macs += (c_i * h_i * w_i) * 2 * cfg.ups_preconcat_k_size
         acc_px = up_px + c_i * h_i * w_i  # after crop this slightly overcounts
     # Synthesis: dense convs at full resolution.
