@@ -16,9 +16,6 @@ from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
-
-_DN = ("NCHW", "OIHW", "NCHW")
 
 
 def init_synthesis_params(
