@@ -17,9 +17,15 @@
 // independently (channelwise, this equals the encoder's cascade since the
 // upsampling never mixes channels).
 
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+// Per-call stage timings (seconds): [0] upsampling, [1] synthesis.
+// Read via ccz_ups_syn_stage_secs after a ccz_ups_syn_int call.
+static double g_stage_secs[2] = {0, 0};
+extern "C" const double* ccz_ups_syn_stage_secs() { return g_stage_secs; }
 
 namespace {
 
@@ -215,6 +221,7 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
                      const int32_t* syn_b, const int32_t* syn_desc,
                      int n_syn_layers, int32_t* out) {
   int H = heights[0], W = widths[0];
+  const auto t_ups0 = std::chrono::steady_clock::now();
 
   // ---- Upsampling: each layer independently to full resolution.
   std::vector<Plane> dense(n_res);
@@ -249,6 +256,10 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
     }
     dense[layer] = std::move(cur);
   }
+
+  const auto t_syn0 = std::chrono::steady_clock::now();
+  g_stage_secs[0] =
+      std::chrono::duration<double>(t_syn0 - t_ups0).count();
 
   // ---- Synthesis: conv stack over the dense planes
   // (reference: syn_cpu.hpp, run_syn). int32 accumulation matches the
@@ -309,28 +320,59 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
           bool residual = syn_desc[4 * l + 2] != 0;
           bool relu = syn_desc[4 * l + 3] != 0;
           const int ci = cins[l], co = couts[l];
-          for (int o = 0; o < co; o++) {
-            int32_t* acc = acc_row.data();
-            const int32_t bias = cb[l][o];
-            for (int x = 0; x < W; x++) acc[x] = bias;
-            if (residual) {
-              const int32_t* r = in + (size_t)o * W;
-              for (int x = 0; x < W; x++) acc[x] += r[x] << SYN_MUL_PRECISION;
-            }
-            const int32_t* krow = cw[l] + (size_t)o * ci;
-            for (int i = 0; i < ci; i++) {
-              const int32_t wgt = krow[i];
-              if (wgt == 0) continue;
-              const int32_t* s = in + (size_t)i * W;
-              for (int x = 0; x < W; x++) acc[x] += s[x] * wgt;
-            }
-            int32_t* dst = sc + (size_t)o * W;
-            for (int x = 0; x < W; x++) {
-              int32_t sum = acc[x];
-              if (sum < 0)
-                dst[x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
-              else
-                dst[x] = sum >> SYN_MUL_PRECISION;
+          // X-blocked accumulation: the whole accumulator strip stays in
+          // registers while all ci inputs stream through, instead of a
+          // load+store of acc per (input, x) — ~2x on the 7->48 layer.
+          constexpr int XB = 64;
+          int32_t accb[XB];
+          for (int x0 = 0; x0 < W; x0 += XB) {
+            const int nb = W - x0 < XB ? W - x0 : XB;
+            for (int o = 0; o < co; o++) {
+              const int32_t bias = cb[l][o];
+              const int32_t* krow = cw[l] + (size_t)o * ci;
+              if (nb == XB) {
+                for (int x = 0; x < XB; x++) accb[x] = bias;
+                if (residual) {
+                  const int32_t* r = in + (size_t)o * W + x0;
+                  for (int x = 0; x < XB; x++)
+                    accb[x] += r[x] << SYN_MUL_PRECISION;
+                }
+                for (int i = 0; i < ci; i++) {
+                  const int32_t wgt = krow[i];
+                  if (wgt == 0) continue;
+                  const int32_t* s = in + (size_t)i * W + x0;
+                  for (int x = 0; x < XB; x++) accb[x] += s[x] * wgt;
+                }
+                int32_t* dst = sc + (size_t)o * W + x0;
+                for (int x = 0; x < XB; x++) {
+                  int32_t sum = accb[x];
+                  if (sum < 0)
+                    dst[x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
+                  else
+                    dst[x] = sum >> SYN_MUL_PRECISION;
+                }
+              } else {
+                for (int x = 0; x < nb; x++) accb[x] = bias;
+                if (residual) {
+                  const int32_t* r = in + (size_t)o * W + x0;
+                  for (int x = 0; x < nb; x++)
+                    accb[x] += r[x] << SYN_MUL_PRECISION;
+                }
+                for (int i = 0; i < ci; i++) {
+                  const int32_t wgt = krow[i];
+                  if (wgt == 0) continue;
+                  const int32_t* s = in + (size_t)i * W + x0;
+                  for (int x = 0; x < nb; x++) accb[x] += s[x] * wgt;
+                }
+                int32_t* dst = sc + (size_t)o * W + x0;
+                for (int x = 0; x < nb; x++) {
+                  int32_t sum = accb[x];
+                  if (sum < 0)
+                    dst[x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
+                  else
+                    dst[x] = sum >> SYN_MUL_PRECISION;
+                }
+              }
             }
           }
           std::swap(in, sc);
@@ -364,34 +406,43 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
     for (int o = 0; o < out_ft; o++) {
       const int32_t* kbase = wp + (size_t)o * n_in * ks * ks;
       const int32_t bias = bp[o];
+      constexpr int XB = 64;
+      int32_t accb[XB];
       for (int y = 0; y < H; y++) {
-        int32_t* acc = acc_row.data();
-        for (int x = 0; x < W; x++) acc[x] = bias;
-        if (residual) {
-          // residual source is the (unpadded) input plane o.
-          const int32_t* r = pad > 0 ? &padded[o].data[(size_t)(y + pad) * pw + pad]
-                                     : &padded[o].data[(size_t)y * W];
-          for (int x = 0; x < W; x++) acc[x] += r[x] << SYN_MUL_PRECISION;
-        }
-        const int32_t* k = kbase;
-        for (int i = 0; i < n_in; i++) {
-          for (int yy = 0; yy < ks; yy++) {
-            const int32_t* src = &padded[i].data[(size_t)(y + yy) * pw];
-            for (int xx = 0; xx < ks; xx++) {
-              const int32_t wgt = *k++;
-              if (wgt == 0) continue;
-              const int32_t* s = src + xx;
-              for (int x = 0; x < W; x++) acc[x] += s[x] * wgt;
+        const int32_t* rres =
+            residual ? (pad > 0 ? &padded[o].data[(size_t)(y + pad) * pw + pad]
+                                : &padded[o].data[(size_t)y * W])
+                     : nullptr;
+        int32_t* dst = &next[o].data[(size_t)y * W];
+        for (int x0 = 0; x0 < W; x0 += XB) {
+          const int nb = W - x0 < XB ? W - x0 : XB;
+          for (int x = 0; x < nb; x++) accb[x] = bias;
+          if (rres)
+            for (int x = 0; x < nb; x++)
+              accb[x] += rres[x0 + x] << SYN_MUL_PRECISION;
+          const int32_t* k = kbase;
+          for (int i = 0; i < n_in; i++) {
+            for (int yy = 0; yy < ks; yy++) {
+              const int32_t* src = &padded[i].data[(size_t)(y + yy) * pw] + x0;
+              for (int xx = 0; xx < ks; xx++) {
+                const int32_t wgt = *k++;
+                if (wgt == 0) continue;
+                const int32_t* s = src + xx;
+                if (nb == XB) {
+                  for (int x = 0; x < XB; x++) accb[x] += s[x] * wgt;
+                } else {
+                  for (int x = 0; x < nb; x++) accb[x] += s[x] * wgt;
+                }
+              }
             }
           }
-        }
-        int32_t* dst = &next[o].data[(size_t)y * W];
-        for (int x = 0; x < W; x++) {
-          int32_t sum = acc[x];
-          if (sum < 0)
-            dst[x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
-          else
-            dst[x] = sum >> SYN_MUL_PRECISION;
+          for (int x = 0; x < nb; x++) {
+            int32_t sum = accb[x];
+            if (sum < 0)
+              dst[x0 + x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
+            else
+              dst[x0 + x] = sum >> SYN_MUL_PRECISION;
+          }
         }
       }
     }
@@ -404,6 +455,9 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
   for (int o = 0; o < n_in; o++)
     std::memcpy(out + (size_t)o * H * W, planes[o].data.data(),
                 (size_t)H * W * sizeof(int32_t));
+  g_stage_secs[1] = std::chrono::duration<double>(
+                        std::chrono::steady_clock::now() - t_syn0)
+                        .count();
 }
 
 }  // extern "C"
