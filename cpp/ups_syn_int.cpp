@@ -104,23 +104,34 @@ Plane ups_refine(const Plane& in, const int32_t* kw, int ks, int src_prec) {
       dst[x] = shr_to_zero(sum, src_prec);
     }
   }
-  // Vertical pass (zero-padded rows) + residual.
+  // Vertical pass (zero-padded rows) + residual, X-blocked so the
+  // accumulator strip stays in registers across the taps.
   Plane out;
   out.resize(h, w);
   const int residue_shift = UPS_PRECISION - src_prec;
+  constexpr int XB = 64;
+  int32_t accb[XB];
   for (int y = 0; y < h; y++) {
     int32_t* dst = &out.data[(size_t)y * w];
     const int32_t* res = &in.data[(size_t)y * w];
-    for (int x = 0; x < w; x++)
-      dst[x] = (res[x] << residue_shift) << UPS_PRECISION;
-    for (int k = 0; k < ks; k++) {
-      int sy = y - pad + k;
-      if (sy < 0 || sy >= h) continue;
-      const int32_t wgt = kw[k];
-      const int32_t* s = &tmp.data[(size_t)sy * w];
-      for (int x = 0; x < w; x++) dst[x] += s[x] * wgt;
+    for (int x0 = 0; x0 < w; x0 += XB) {
+      const int nb = w - x0 < XB ? w - x0 : XB;
+      for (int x = 0; x < nb; x++)
+        accb[x] = (res[x0 + x] << residue_shift) << UPS_PRECISION;
+      for (int k = 0; k < ks; k++) {
+        int sy = y - pad + k;
+        if (sy < 0 || sy >= h) continue;
+        const int32_t wgt = kw[k];
+        const int32_t* s = &tmp.data[(size_t)sy * w] + x0;
+        if (nb == XB) {
+          for (int x = 0; x < XB; x++) accb[x] += s[x] * wgt;
+        } else {
+          for (int x = 0; x < nb; x++) accb[x] += s[x] * wgt;
+        }
+      }
+      for (int x = 0; x < nb; x++)
+        dst[x0 + x] = shr_to_zero(accb[x], UPS_PRECISION);
     }
-    for (int x = 0; x < w; x++) dst[x] = shr_to_zero(dst[x], UPS_PRECISION);
   }
   return out;
 }
@@ -166,32 +177,44 @@ Plane ups_upsample(const Plane& in, const int32_t* kw_full, int ksx2,
       dst[2 * x + 1] = shr_to_zero(so, src_prec);
     }
   }
-  // Vertical polyphase pass (replicate-padded rows): accumulate whole rows.
+  // Vertical polyphase pass (replicate-padded rows), X-blocked: both
+  // phase accumulators live in registers across the taps.
   Plane out;
   out.resize(out_h, out_w);
-  std::vector<int32_t> acc_e(out_w), acc_o(out_w);
+  constexpr int XB = 32;
+  int32_t acc_e[XB], acc_o[XB];
   for (int y = 0; y < h; y++) {
-    std::memset(acc_e.data(), 0, out_w * sizeof(int32_t));
-    std::memset(acc_o.data(), 0, out_w * sizeof(int32_t));
+    const int32_t* rows_e[16];
+    const int32_t* rows_o[16];
     for (int k = 0; k < ks; k++) {
-      const int32_t* se_row = &tmp.data[(size_t)clampi(y - pad + k, 0, h - 1) * 2 * w];
-      const int32_t* so_row =
-          &tmp.data[(size_t)clampi(y - pad + k + 1, 0, h - 1) * 2 * w];
-      const int32_t we = kw_even[k], wo = kw_odd[k];
-      int32_t* ae = acc_e.data();
-      int32_t* ao = acc_o.data();
-      for (int x = 0; x < out_w; x++) {
-        ae[x] += se_row[x] * we;
-        ao[x] += so_row[x] * wo;
+      rows_e[k] = &tmp.data[(size_t)clampi(y - pad + k, 0, h - 1) * 2 * w];
+      rows_o[k] = &tmp.data[(size_t)clampi(y - pad + k + 1, 0, h - 1) * 2 * w];
+    }
+    int32_t* dst_e = 2 * y < out_h ? &out.data[(size_t)(2 * y) * out_w] : nullptr;
+    int32_t* dst_o =
+        2 * y + 1 < out_h ? &out.data[(size_t)(2 * y + 1) * out_w] : nullptr;
+    for (int x0 = 0; x0 < out_w; x0 += XB) {
+      const int nb = out_w - x0 < XB ? out_w - x0 : XB;
+      for (int x = 0; x < nb; x++) acc_e[x] = 0;
+      for (int x = 0; x < nb; x++) acc_o[x] = 0;
+      for (int k = 0; k < ks; k++) {
+        const int32_t we = kw_even[k], wo = kw_odd[k];
+        const int32_t* se = rows_e[k] + x0;
+        const int32_t* so = rows_o[k] + x0;
+        if (nb == XB) {
+          for (int x = 0; x < XB; x++) acc_e[x] += se[x] * we;
+          for (int x = 0; x < XB; x++) acc_o[x] += so[x] * wo;
+        } else {
+          for (int x = 0; x < nb; x++) acc_e[x] += se[x] * we;
+          for (int x = 0; x < nb; x++) acc_o[x] += so[x] * wo;
+        }
       }
-    }
-    if (2 * y < out_h) {
-      int32_t* dst = &out.data[(size_t)(2 * y) * out_w];
-      for (int x = 0; x < out_w; x++) dst[x] = shr_to_zero(acc_e[x], UPS_PRECISION);
-    }
-    if (2 * y + 1 < out_h) {
-      int32_t* dst = &out.data[(size_t)(2 * y + 1) * out_w];
-      for (int x = 0; x < out_w; x++) dst[x] = shr_to_zero(acc_o[x], UPS_PRECISION);
+      if (dst_e)
+        for (int x = 0; x < nb; x++)
+          dst_e[x0 + x] = shr_to_zero(acc_e[x], UPS_PRECISION);
+      if (dst_o)
+        for (int x = 0; x < nb; x++)
+          dst_o[x0 + x] = shr_to_zero(acc_o[x], UPS_PRECISION);
     }
   }
   return out;
