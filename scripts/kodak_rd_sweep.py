@@ -532,15 +532,31 @@ def cmd_run(args) -> None:
             return
         print(f"[attempt {attempt}] {n_final}/{total} batches final; encoding...",
               flush=True)
-        try:
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "encode",
-                 "--budget", args.budget, "--seed", str(args.seed)],
-                env=env, cwd="/root/repo", timeout=7200,
-            )
-            rc = p.returncode
-        except subprocess.TimeoutExpired:
-            rc = -1  # hung device transfer; progress is checkpointed
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "encode",
+             "--budget", args.budget, "--seed", str(args.seed)],
+            env=env, cwd="/root/repo",
+        )
+        # Progress-based watchdog: a healthy worker advances some batch
+        # checkpoint every few minutes; kill only when every state/final
+        # file stalls >20 min (a blanket wall-clock timeout killed healthy
+        # workers mid-device-call and crashed the tunnel).
+        def latest_progress():
+            stamps = [
+                os.path.getmtime(f)
+                for pat in ("state.pkl", "final.pkl")
+                for f in (WORKDIR / "batches").glob(f"*/{pat}")
+            ]
+            return max(stamps) if stamps else 0.0
+        rc = None
+        while rc is None:
+            try:
+                rc = proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                if time.time() - latest_progress() > 1200:
+                    proc.kill()
+                    proc.wait()
+                    rc = -9  # stalled; progress is checkpointed
         if rc != 0:
             print(f"encode worker died (rc={rc}); cooldown 90 s", flush=True)
             time.sleep(90)
