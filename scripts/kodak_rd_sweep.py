@@ -549,11 +549,15 @@ def cmd_run(args) -> None:
             ]
             return max(stamps) if stamps else 0.0
         rc = None
+        worker_start = time.time()
         while rc is None:
             try:
                 rc = proc.wait(timeout=60)
             except subprocess.TimeoutExpired:
-                if time.time() - latest_progress() > 1200:
+                # stall clock starts at worker launch: pre-existing old
+                # checkpoints must not count against a fresh worker (which
+                # may spend many minutes compiling before its first save)
+                if time.time() - max(latest_progress(), worker_start) > 1200:
                     proc.kill()
                     proc.wait()
                     rc = -9  # stalled; progress is checkpointed
