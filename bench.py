@@ -48,12 +48,19 @@ BASELINE_S_PER_IMAGE = C3X_FAST_TOTAL_ITERS / 160.0  # ~96 s; see module docstri
 
 PHASE_ITERS = 600
 N_TRIALS = 3
-BATCHES = (8, 32)  # 32 fits since the layout-proof ups/syn rework
-# (1.9G HBM temps at batch 8, 7.8G at 32); the headline is the best
-# amortized s/image across batch sizes.
+BATCHES = (8, 32, 64)  # 32 fits at 7.8G HBM since the layout-proof ups/syn
+# rework; 64 is attempted and skipped gracefully if it exceeds HBM. The
+# headline is the best amortized s/image across batch sizes.
 COOLDOWN_S = 90
 WORKER_TIMEOUT_S = 480
 MAX_LAUNCHES = 3
+
+# Chip gate (round-2 verdict): never record a headline from whatever chip
+# state happens to be live. Probe first; if degraded, cool down and retry
+# (bounded); only then measure, reporting every probe attempt.
+GATE_TFLOPS = 100.0  # v5e bf16 peak ~197; >100 = healthy window
+GATE_ATTEMPTS = 6
+GATE_COOLDOWN_S = 120
 
 
 # ---------------------------------------------------------------- worker
@@ -151,8 +158,51 @@ def worker_main(batch: int, todo: list[str]) -> None:
             v = probe_matmul_tflops(int(arg))
         else:
             b, _, t = arg.partition("x")
-            v = measure(int(b), int(t))
+            try:
+                v = measure(int(b), int(t))
+            except Exception as e:  # OOM at a large batch: report, don't die
+                msg = str(e)
+                if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+                    print(json.dumps({"kind": "oom", "arg": arg,
+                                      "value": msg[:200]}), flush=True)
+                    continue
+                raise
         print(json.dumps({"kind": kind, "arg": arg, "value": v}), flush=True)
+
+
+def stop_sweep_processes() -> list[int]:
+    """Kill (by recorded PID only, never by pattern) any checkpointed-sweep
+    run loop + its encode worker: a second TPU process through the shared
+    tunnel makes every number garbage (CLAUDE.md). The sweep is fully
+    resumable from its on-disk state, so this only costs one segment."""
+    killed = []
+    import signal
+
+    pidfiles = ["results/image/kodak/tpu_sweep/run.pid",
+                "results/image/clic20-pro-valid/tpu_sweep/run.pid"]
+    pids = []
+    for pf in pidfiles:
+        try:
+            pids.append(int(open(pf).read().strip()))
+        except Exception:
+            continue
+    # children (encode workers) of each run loop, via /proc
+    for pid in list(pids):
+        try:
+            for tid in os.listdir(f"/proc/{pid}/task"):
+                with open(f"/proc/{pid}/task/{tid}/children") as f:
+                    pids.extend(int(c) for c in f.read().split())
+        except Exception:
+            pass
+    for pid in pids:
+        try:
+            os.kill(pid, signal.SIGKILL)
+            killed.append(pid)
+        except (ProcessLookupError, PermissionError):
+            pass
+    if killed:
+        time.sleep(10)  # let the tunnel settle
+    return killed
 
 
 # ------------------------------------------------------------ orchestrator
@@ -171,30 +221,22 @@ def main():
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
 
-    batch = 8
-    todo = (
-        ["probe:10"]
-        + [f"trial:{b}x{t}" for b in BATCHES for t in range(N_TRIALS)]
-        + ["probe:11"]
-    )
-    results: dict[str, float] = {}
-    device = "?"
-    last_err = ""
-    for launch in range(MAX_LAUNCHES):
-        pending = [x for x in todo if x not in results]
-        if not pending:
-            break
+    killed = stop_sweep_processes()
+
+    def run_worker(todo_items, timeout):
+        nonlocal device, last_err
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
-               "--batch", str(batch), "--todo", ",".join(pending)]
+               "--todo", ",".join(todo_items)]
         try:
             p = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=WORKER_TIMEOUT_S, env=env, cwd="/root/repo")
+                               timeout=timeout, env=env, cwd="/root/repo")
             out_lines = p.stdout.strip().splitlines()
             if p.returncode != 0:
                 last_err = (p.stderr or p.stdout)[-300:]
         except subprocess.TimeoutExpired as e:
             out_lines = (e.stdout or "").strip().splitlines() if e.stdout else []
             last_err = "worker timeout"
+        recs = []
         for line in out_lines:
             try:
                 rec = json.loads(line)
@@ -203,8 +245,41 @@ def main():
             if rec.get("kind") == "device":
                 device = rec["value"]
             else:
-                results[f"{rec['kind']}:{rec['arg']}"] = rec["value"]
-        still = [x for x in todo if x not in results]
+                recs.append(rec)
+        return recs
+
+    device = "?"
+    last_err = ""
+
+    # ---- chip gate: wait (bounded) for a healthy window before measuring.
+    gate_probes: list[float] = []
+    for attempt in range(GATE_ATTEMPTS):
+        recs = run_worker([f"probe:{20 + attempt}"], timeout=300)
+        tflops = next((r["value"] for r in recs if r["kind"] == "probe"), 0.0)
+        gate_probes.append(round(float(tflops), 1))
+        if tflops >= GATE_TFLOPS:
+            break
+        if attempt + 1 < GATE_ATTEMPTS:
+            time.sleep(GATE_COOLDOWN_S)
+    gate_passed = bool(gate_probes) and max(gate_probes) >= GATE_TFLOPS
+
+    todo = (
+        ["probe:10"]
+        + [f"trial:{b}x{t}" for b in BATCHES for t in range(N_TRIALS)]
+        + ["probe:11"]
+    )
+    results: dict[str, float] = {}
+    for launch in range(MAX_LAUNCHES):
+        pending = [x for x in todo
+                   if x not in results
+                   and "oom:" + x.partition(":")[2] not in results]
+        if not pending:
+            break
+        for rec in run_worker(pending, WORKER_TIMEOUT_S):
+            results[f"{rec['kind']}:{rec['arg']}"] = rec["value"]
+        still = [x for x in todo
+                 if x not in results
+                 and "oom:" + x.partition(":")[2] not in results]
         trials_missing = [x for x in still if x.startswith("trial")]
         if not trials_missing:
             break
@@ -253,6 +328,13 @@ def main():
                     "trials_it_per_s": [round(t, 1) for t in trials],
                     "matmul_tflops": [round(x, 1) for x in probes],
                     "chip_state": chip_state,
+                    "gate_probes_tflops": gate_probes,
+                    "gate_passed": gate_passed,
+                    "stopped_background_pids": killed,
+                    "oom_batches": sorted(
+                        {k.partition(":")[2].partition("x")[0]
+                         for k in results if k.startswith("oom:")}
+                    ),
                     "device": device,
                     "assumed_baseline_s_per_image": round(BASELINE_S_PER_IMAGE, 1),
                     "iters_budget": C3X_FAST_TOTAL_ITERS,

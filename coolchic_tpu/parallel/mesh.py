@@ -144,13 +144,49 @@ def encode_batch_sharded(
     cfg: CoolChicConfig,
     preset: Preset,
     mesh: Optional[Mesh] = None,
-) -> EncodeResult:
+    with_quant_info: bool = False,
+):
     """Overfit a batch of images sharded across the mesh (full pipeline:
     warm-up + every preset phase). Batch size must be a multiple of the mesh
-    size."""
+    size.
+
+    With ``with_quant_info`` (requires a preset phase with
+    ``quantize_model``), also returns the stacked NN-quantization choices
+    (q-steps + exp-Golomb orders per module) the bitstream writer needs —
+    so a sharded mass encode can go straight to .cool files.
+    """
     if mesh is None:
         mesh = make_mesh()
     keys, targets, lmbdas = shard_leading_axis((keys, targets, lmbdas), mesh)
+
+    if with_quant_info:
+        from coolchic_tpu.train.encode import encode_frame_with_quant_info
+
+        def shard_fn(k, t, l):
+            res, infos = jax.vmap(
+                lambda ki, ti, li: encode_frame_with_quant_info(
+                    ki, ti, li, cfg, preset
+                )
+            )(k, t, l)
+            assert infos is not None, (
+                "with_quant_info requires a quantize_model phase in the preset"
+            )
+            return res, infos
+
+        fn = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(IMAGE_AXIS), P(IMAGE_AXIS), P(IMAGE_AXIS)),
+                out_specs=(P(IMAGE_AXIS), P(IMAGE_AXIS)),
+                # The encode pipeline mixes varying (per-image) state with
+                # unvarying constants (zero-init latents) inside its scan
+                # carries; there is no cross-shard communication at all, so
+                # the varying-manual-axes checker adds no safety here.
+                check_vma=False,
+            )
+        )
+        return fn(keys, targets, lmbdas)
 
     def shard_fn(k, t, l):
         return jax.vmap(lambda ki, ti, li: encode_frame(ki, ti, li, cfg, preset))(
@@ -163,6 +199,7 @@ def encode_batch_sharded(
             mesh=mesh,
             in_specs=(P(IMAGE_AXIS), P(IMAGE_AXIS), P(IMAGE_AXIS)),
             out_specs=P(IMAGE_AXIS),
+            check_vma=False,  # see above: no collectives in the pipeline
         )
     )
     return fn(keys, targets, lmbdas)

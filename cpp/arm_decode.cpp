@@ -77,8 +77,9 @@ inline int32_t div256_to_zero(int32_t x) {
 
 // Weights transposed to input-major [in][out] so the per-input inner loop
 // accumulates contiguously across outputs (vectorizes across lanes).
-// 32-byte alignment lets the AVX2 kernel use aligned loads of the rows.
-struct alignas(32) ArmWeightsT {
+// 64-byte alignment lets the AVX2/AVX-512 kernels use aligned row loads
+// (row stride MAX_DIM_ARM ints = 128 bytes keeps every row aligned).
+struct alignas(64) ArmWeightsT {
   int32_t wt[MAX_HIDDEN][MAX_DIM_ARM][MAX_DIM_ARM];  // [layer][in][out]
   int32_t b[MAX_HIDDEN][MAX_DIM_ARM];
   int32_t head_w[MAX_DIM_ARM][2];   // [in][out] (scalar path)
@@ -214,6 +215,56 @@ inline void arm_forward_avx2(const ArmWeightsT& aw, const int32_t* base,
 }
 #endif  // __AVX2__
 
+#ifdef __AVX512F__
+// AVX-512 pixel kernel for C a multiple of 16: the whole activation vector
+// lives in C/16 zmm registers, halving the multiply-add chain vs the AVX2
+// form (same exact math: residual added pre-shift, ReLU before the
+// round-half-away shift makes the to-zero division a plain (v+128)>>8).
+// Inputs are broadcast from a small aligned stack spill (vpbroadcastd from
+// memory) instead of the AVX2 rotate dance.
+template <int C>
+inline void arm_forward_avx512(const ArmWeightsT& aw, const int32_t* base,
+                               const __m512i* idx, int n_hidden, int32_t& mu,
+                               int32_t& ls) {
+  constexpr int NB = C / 16;
+  __m512i x[NB], acc[NB];
+  for (int b = 0; b < NB; b++) x[b] = _mm512_i32gather_epi32(idx[b], base, 4);
+  const __m512i half = _mm512_set1_epi32(ARM_SCALE / 2);
+  const __m512i zero = _mm512_setzero_si512();
+  alignas(64) int32_t xs[C];
+  for (int l = 0; l < n_hidden; l++) {
+    const int32_t* k = &aw.wt[l][0][0];  // row stride MAX_DIM_ARM
+    for (int b = 0; b < NB; b++) {
+      acc[b] = _mm512_load_si512((const void*)&aw.b[l][b * 16]);
+      acc[b] = _mm512_add_epi32(acc[b], _mm512_slli_epi32(x[b], ARM_PRECISION));
+      _mm512_store_si512(&xs[b * 16], x[b]);
+    }
+    for (int i = 0; i < C; i++, k += MAX_DIM_ARM) {
+      const __m512i in = _mm512_set1_epi32(xs[i]);
+      for (int b = 0; b < NB; b++) {
+        __m512i w = _mm512_load_si512((const void*)(k + b * 16));
+        acc[b] = _mm512_add_epi32(acc[b], _mm512_mullo_epi32(in, w));
+      }
+    }
+    for (int b = 0; b < NB; b++) {
+      __m512i r = _mm512_max_epi32(acc[b], zero);
+      x[b] = _mm512_srai_epi32(_mm512_add_epi32(r, half), ARM_PRECISION);
+    }
+  }
+  __m512i s0 = zero, s1 = zero;
+  for (int b = 0; b < NB; b++) {
+    s0 = _mm512_add_epi32(
+        s0, _mm512_mullo_epi32(
+                x[b], _mm512_load_si512((const void*)&aw.head_w0[b * 16])));
+    s1 = _mm512_add_epi32(
+        s1, _mm512_mullo_epi32(
+                x[b], _mm512_load_si512((const void*)&aw.head_w1[b * 16])));
+  }
+  mu = div256_to_zero(aw.head_b[0] + _mm512_reduce_add_epi32(s0));
+  ls = div256_to_zero(aw.head_b[1] + _mm512_reduce_add_epi32(s1));
+}
+#endif  // __AVX512F__
+
 // Generic fallback for unusual (dim, n_hidden) combinations.
 void arm_forward_generic(const ArmWeightsT& aw, const int32_t* ctx,
                          int32_t& mu, int32_t& ls) {
@@ -269,6 +320,12 @@ void decode_grid_loop(const ArmWeightsT& aw, ccz::Decoder& dec,
     for (int b = 0; b < C / 8; b++)
       vidx[b] = _mm256_loadu_si256((const __m256i*)&ctx_off[b * 8]);
 #endif
+#ifdef __AVX512F__
+  __m512i vidx512[MAX_DIM_ARM / 16 > 0 ? MAX_DIM_ARM / 16 : 1];
+  if constexpr (!GENERIC && C % 16 == 0)
+    for (int b = 0; b < C / 16; b++)
+      vidx512[b] = _mm512_loadu_si512((const void*)&ctx_off[b * 16]);
+#endif
   for (int y = 0; y < h; y++) {
     int32_t* prow = plane0 + (size_t)(y + PAD) * pw + PAD;
     for (int x = 0; x < w; x++) {
@@ -286,7 +343,14 @@ void decode_grid_loop(const ArmWeightsT& aw, ccz::Decoder& dec,
           for (int c = 0; c < dim_arm; c++) ctxbuf[c] = base[ctx_off[c]];
           arm_forward_generic(aw, ctxbuf, mu, ls);
         } else {
-#ifdef __AVX2__
+#if defined(__AVX512F__)
+          if constexpr (C % 16 == 0) {
+            arm_forward_avx512<C % 16 == 0 ? C : 16>(aw, base, vidx512, NH, mu,
+                                                     ls);
+          } else {
+            arm_forward_avx2<C>(aw, base, vidx, NH, mu, ls);
+          }
+#elif defined(__AVX2__)
           arm_forward_avx2<C>(aw, base, vidx, NH, mu, ls);
 #else
           for (int c = 0; c < C; c++) ctxbuf[c] = base[ctx_off[c]];

@@ -20,6 +20,7 @@ extern "C" int ccz_decode_image(const uint8_t* data, int len, int32_t* out_img,
                                 double* timings);
 extern "C" int ccz_decode_video(const uint8_t* data, int len,
                                 int32_t* out_frames, double* timings);
+extern "C" const double* ccz_ups_syn_stage_secs();
 
 static bool ends_with(const char* s, const char* suf) {
   size_t n = strlen(s), m = strlen(suf);
@@ -118,12 +119,14 @@ int main(int argc, char** argv) {
   std::vector<int32_t> img((size_t)c * ps);
   int rc = ccz_decode_image(data.data(), (int)sz, img.data(), times);
   if (rc < 0) { fprintf(stderr, "decode failed (%d)\n", rc); return 1; }
-  if (verbose)
+  if (verbose) {
+    const double* st = ccz_ups_syn_stage_secs();
     fprintf(stderr,
-            "%dx%dx%d @%db  nn %.1f ms | arm %.1f ms | ups+syn %.1f ms | "
-            "total %.1f ms\n",
+            "%dx%dx%d @%db  nn %.1f ms | arm %.1f ms | ups+syn %.1f ms "
+            "(ups %.1f syn %.1f [c %.1f s %.1f]) | total %.1f ms\n",
             w, h, c, bitdepth, times[0] * 1e3, times[1] * 1e3, times[2] * 1e3,
-            times[3] * 1e3);
+            st[0] * 1e3, st[1] * 1e3, st[2] * 1e3, st[3] * 1e3, times[3] * 1e3);
+  }
 
   FILE* out = fopen(out_path, "wb");
   if (!out) { fprintf(stderr, "cannot write %s\n", out_path); return 1; }

@@ -20,11 +20,12 @@
 #include <chrono>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 // Per-call stage timings (seconds): [0] upsampling, [1] synthesis.
 // Read via ccz_ups_syn_stage_secs after a ccz_ups_syn_int call.
-static double g_stage_secs[2] = {0, 0};
+static double g_stage_secs[4] = {0, 0, 0, 0};  // [2]=1x1 chain, [3]=spatial
 extern "C" const double* ccz_ups_syn_stage_secs() { return g_stage_secs; }
 
 namespace {
@@ -37,46 +38,55 @@ inline int32_t shr_to_zero(int32_t v, int n) {
   return v < 0 ? -((-v) >> n) : (v >> n);
 }
 
-// Simple plane with copy-based padding.
+// Plane over capacity-reusing UNINITIALIZED storage: resize never zero-fills
+// (every pass writes its full output) and never reallocates when shrinking,
+// so scratch planes are allocated once at their largest size and recycled
+// across the whole cascade.
 struct Plane {
   int h = 0, w = 0;
-  std::vector<int32_t> data;
+  int32_t* data = nullptr;
+
+  Plane() = default;
+  Plane(Plane&& o) noexcept { *this = std::move(o); }
+  Plane& operator=(Plane&& o) noexcept {
+    h = o.h;
+    w = o.w;
+    data = o.data;
+    cap_ = o.cap_;
+    store_ = std::move(o.store_);
+    o.h = o.w = 0;
+    o.data = nullptr;
+    o.cap_ = 0;
+    return *this;
+  }
   void resize(int hh, int ww) {
+    size_t n = static_cast<size_t>(hh) * ww;
+    if (n > cap_) {
+      store_.reset(new int32_t[n]);
+      data = store_.get();
+      cap_ = n;
+    }
     h = hh;
     w = ww;
-    data.assign(static_cast<size_t>(hh) * ww, 0);
   }
-  int32_t& at(int y, int x) { return data[static_cast<size_t>(y) * w + x]; }
-  int32_t at(int y, int x) const { return data[static_cast<size_t>(y) * w + x]; }
-};
 
-Plane pad_plane(const Plane& p, int pad, bool replicate) {
-  Plane out;
-  out.resize(p.h + 2 * pad, p.w + 2 * pad);
-  for (int y = 0; y < out.h; y++) {
-    int sy = y - pad;
-    if (replicate) sy = sy < 0 ? 0 : (sy >= p.h ? p.h - 1 : sy);
-    for (int x = 0; x < out.w; x++) {
-      int sx = x - pad;
-      if (replicate) sx = sx < 0 ? 0 : (sx >= p.w ? p.w - 1 : sx);
-      if (sy < 0 || sy >= p.h || sx < 0 || sx >= p.w)
-        out.at(y, x) = 0;
-      else
-        out.at(y, x) = p.at(sy, sx);
-    }
-  }
-  return out;
-}
+ private:
+  size_t cap_ = 0;
+  std::unique_ptr<int32_t[]> store_;
+};
 
 // Odd symmetric separable conv + residual (reference: ups_refine_cpu.hpp).
 // src at src_prec frac bits; output at UPS_PRECISION. Borders are handled
 // inline (zero padding semantics) instead of materializing padded copies.
-Plane ups_refine(const Plane& in, const int32_t* kw, int ks, int src_prec) {
+void ups_refine(const Plane& in, const int32_t* kw, int ks, int src_prec,
+                Plane& tmp, Plane& out) {
   const int pad = ks / 2;
   const int h = in.h, w = in.w;
-  Plane tmp;
   tmp.resize(h, w);
-  // Horizontal pass, zero-padded columns.
+  // Horizontal pass, zero-padded columns. Interior is X-blocked so the
+  // accumulator strip vectorizes (shifted contiguous loads per tap).
+  constexpr int HXB = 64;
+  int32_t hacc[HXB];
   for (int y = 0; y < h; y++) {
     const int32_t* src = &in.data[(size_t)y * w];
     int32_t* dst = &tmp.data[(size_t)y * w];
@@ -89,13 +99,22 @@ Plane ups_refine(const Plane& in, const int32_t* kw, int ks, int src_prec) {
       }
       dst[x] = shr_to_zero(sum, src_prec);
     }
-    for (; x + pad < w; x++) {  // interior
-      int32_t sum = 0;
-      const int32_t* s = src + x - pad;
-      for (int k = 0; k < ks; k++) sum += s[k] * kw[k];
-      dst[x] = shr_to_zero(sum, src_prec);
+    const int x_end = w - pad;  // interior: [pad, x_end)
+    for (int x0 = x; x0 < x_end; x0 += HXB) {
+      const int nb = x_end - x0 < HXB ? x_end - x0 : HXB;
+      for (int i = 0; i < nb; i++) hacc[i] = 0;
+      for (int k = 0; k < ks; k++) {
+        const int32_t wgt = kw[k];
+        const int32_t* s = src + x0 - pad + k;
+        if (nb == HXB) {
+          for (int i = 0; i < HXB; i++) hacc[i] += s[i] * wgt;
+        } else {
+          for (int i = 0; i < nb; i++) hacc[i] += s[i] * wgt;
+        }
+      }
+      for (int i = 0; i < nb; i++) dst[x0 + i] = shr_to_zero(hacc[i], src_prec);
     }
-    for (; x < w; x++) {  // right border
+    for (x = x_end > x ? x_end : x; x < w; x++) {  // right border
       int32_t sum = 0;
       for (int k = 0; k < ks; k++) {
         int sx = x - pad + k;
@@ -104,9 +123,9 @@ Plane ups_refine(const Plane& in, const int32_t* kw, int ks, int src_prec) {
       dst[x] = shr_to_zero(sum, src_prec);
     }
   }
+
   // Vertical pass (zero-padded rows) + residual, X-blocked so the
   // accumulator strip stays in registers across the taps.
-  Plane out;
   out.resize(h, w);
   const int residue_shift = UPS_PRECISION - src_prec;
   constexpr int XB = 64;
@@ -133,17 +152,17 @@ Plane ups_refine(const Plane& in, const int32_t* kw, int ks, int src_prec) {
         dst[x0 + x] = shr_to_zero(accb[x], UPS_PRECISION);
     }
   }
-  return out;
 }
 
 // Even symmetric x2 transposed conv as two polyphase filters
 // (reference: ups_upsample_cpu.hpp). Output is exactly (2h, 2w), cropped to
 // (out_h, out_w).
-Plane ups_upsample(const Plane& in, const int32_t* kw_full, int ksx2,
-                   int src_prec, int out_h, int out_w) {
+void ups_upsample(const Plane& in, const int32_t* kw_full, int ksx2,
+                  int src_prec, int out_h, int out_w, Plane& tmp,
+                  Plane& out) {
   int ks = ksx2 / 2;  // per-phase taps
   int pad = ks / 2;
-  std::vector<int32_t> kw_even(ks), kw_odd(ks);
+  int32_t kw_even[16], kw_odd[16];
   for (int i = 0; i < ks; i++) {
     kw_even[i] = kw_full[2 * i];
     kw_odd[i] = kw_full[2 * i + 1];
@@ -152,36 +171,57 @@ Plane ups_upsample(const Plane& in, const int32_t* kw_full, int ksx2,
   auto clampi = [](int v, int lo, int hi) {
     return v < lo ? lo : (v > hi ? hi : v);
   };
-  // Horizontal polyphase pass (replicate-padded columns): row-wise with an
-  // interior fast path, borders clamped inline.
-  Plane tmp;
+  // Horizontal polyphase pass (replicate-padded columns): X-blocked
+  // interior (both phase accumulator strips vectorize over shifted
+  // contiguous loads), borders clamped inline.
   tmp.resize(h, 2 * w);
+  constexpr int HXB = 32;
+  int32_t hacc_e[HXB], hacc_o[HXB];
+  // interior x: needs x-pad >= 0 and (x-pad+ks-1)+1 <= w-1 for the odd phase
+  const int xi0 = pad;
+  const int xi1 = w - ks + pad;  // exclusive
   for (int y = 0; y < h; y++) {
     const int32_t* src = &in.data[(size_t)y * w];
     int32_t* dst = &tmp.data[(size_t)y * 2 * w];
-    for (int x = 0; x < w; x++) {
+    auto border = [&](int x) {
       int32_t se = 0, so = 0;
-      if (x >= pad && x - pad + ks < w) {
-        const int32_t* s = src + x - pad;
-        for (int k = 0; k < ks; k++) {
-          se += s[k] * kw_even[k];
-          so += s[k + 1] * kw_odd[k];
-        }
-      } else {
-        for (int k = 0; k < ks; k++) {
-          se += src[clampi(x - pad + k, 0, w - 1)] * kw_even[k];
-          so += src[clampi(x - pad + k + 1, 0, w - 1)] * kw_odd[k];
-        }
+      for (int k = 0; k < ks; k++) {
+        se += src[clampi(x - pad + k, 0, w - 1)] * kw_even[k];
+        so += src[clampi(x - pad + k + 1, 0, w - 1)] * kw_odd[k];
       }
       dst[2 * x] = shr_to_zero(se, src_prec);
       dst[2 * x + 1] = shr_to_zero(so, src_prec);
+    };
+    int x = 0;
+    for (; x < xi0 && x < w; x++) border(x);
+    for (int x0 = x; x0 < xi1; x0 += HXB) {
+      const int nb = xi1 - x0 < HXB ? xi1 - x0 : HXB;
+      for (int i = 0; i < nb; i++) hacc_e[i] = 0;
+      for (int i = 0; i < nb; i++) hacc_o[i] = 0;
+      for (int k = 0; k < ks; k++) {
+        const int32_t we = kw_even[k], wo = kw_odd[k];
+        const int32_t* se = src + x0 - pad + k;
+        const int32_t* so = se + 1;
+        if (nb == HXB) {
+          for (int i = 0; i < HXB; i++) hacc_e[i] += se[i] * we;
+          for (int i = 0; i < HXB; i++) hacc_o[i] += so[i] * wo;
+        } else {
+          for (int i = 0; i < nb; i++) hacc_e[i] += se[i] * we;
+          for (int i = 0; i < nb; i++) hacc_o[i] += so[i] * wo;
+        }
+      }
+      int32_t* d = dst + 2 * x0;
+      for (int i = 0; i < nb; i++) {
+        d[2 * i] = shr_to_zero(hacc_e[i], src_prec);
+        d[2 * i + 1] = shr_to_zero(hacc_o[i], src_prec);
+      }
     }
+    for (x = xi1 > x ? xi1 : x; x < w; x++) border(x);
   }
   // Vertical polyphase pass (replicate-padded rows), X-blocked: both
   // phase accumulators live in registers across the taps.
-  Plane out;
   out.resize(out_h, out_w);
-  constexpr int XB = 32;
+  constexpr int XB = 64;
   int32_t acc_e[XB], acc_o[XB];
   for (int y = 0; y < h; y++) {
     const int32_t* rows_e[16];
@@ -217,8 +257,7 @@ Plane ups_upsample(const Plane& in, const int32_t* kw_full, int ksx2,
           dst_o[x0 + x] = shr_to_zero(acc_o[x], UPS_PRECISION);
     }
   }
-  return out;
-}
+  }
 
 }  // namespace
 
@@ -246,38 +285,44 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
   int H = heights[0], W = widths[0];
   const auto t_ups0 = std::chrono::steady_clock::now();
 
-  // ---- Upsampling: each layer independently to full resolution.
+  // ---- Upsampling: each layer independently to full resolution. Scratch
+  // planes (pass intermediate + cascade ping/pong) are allocated once at
+  // full-res size and recycled across every layer — no per-step heap
+  // traffic or zero fills.
   std::vector<Plane> dense(n_res);
+  Plane scratch, ping, pong;
   const int32_t* lat_ptr = latents;
   for (int layer = 0; layer < n_res; layer++) {
     int h = heights[layer], w = widths[layer];
-    Plane p;
-    p.resize(h, w);
+    ping.resize(h, w);
     for (int i = 0; i < h * w; i++)
-      p.data[i] = lat_ptr[i] << ARM_PRECISION;  // to ARM fixed point
+      ping.data[i] = lat_ptr[i] << ARM_PRECISION;  // to ARM fixed point
     lat_ptr += h * w;
 
     int src_prec = ARM_PRECISION;
     if (layer == 0) {
       const int32_t* kw = pre_kernels + (n_res - 2 - 0) % (n_res - 1) * pre_k_size;
-      dense[0] = ups_refine(p, kw, pre_k_size, ARM_PRECISION);
+      ups_refine(ping, kw, pre_k_size, ARM_PRECISION, scratch, dense[0]);
       continue;
     }
-    Plane cur = p;
+    Plane* cur = &ping;
+    Plane* nxt = &pong;
     if (layer != n_res - 1) {
       const int32_t* kw =
           pre_kernels + ((n_res - 2 - layer) % (n_res - 1)) * pre_k_size;
-      cur = ups_refine(cur, kw, pre_k_size, ARM_PRECISION);
+      ups_refine(*cur, kw, pre_k_size, ARM_PRECISION, scratch, *nxt);
+      std::swap(cur, nxt);
       src_prec = UPS_PRECISION;
     }
     for (int target = layer - 1; target >= 0; target--) {
       const int32_t* kw =
           ups_kernels + ((n_res - 2 - target) % (n_res - 1)) * ups_k_size;
-      cur = ups_upsample(cur, kw, ups_k_size, src_prec, heights[target],
-                         widths[target]);
+      Plane& dst = target == 0 ? dense[layer] : *nxt;
+      ups_upsample(*cur, kw, ups_k_size, src_prec, heights[target],
+                   widths[target], scratch, dst);
+      if (target != 0) std::swap(cur, nxt);
       src_prec = UPS_PRECISION;
     }
-    dense[layer] = std::move(cur);
   }
 
   const auto t_syn0 = std::chrono::steady_clock::now();
@@ -292,7 +337,6 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
   const int32_t* wp = syn_w;
   const int32_t* bp = syn_b;
   int n_in = n_res;
-  std::vector<int32_t> acc_row(W);
 
   // Fast path: a leading chain of consecutive 1x1 layers (the reference's
   // "fused" hot case, e.g. 7->48(relu)->3; reference: synfused_cpu.hpp)
@@ -331,18 +375,25 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
 
       std::vector<Plane> next(final_ft);
       for (int o = 0; o < final_ft; o++) next[o].resize(H, W);
-      // two row-block buffers [max_ft][W]
+      // Two intermediate row-block buffers [max_ft][W]; the first layer
+      // reads the dense plane rows directly and the last layer writes the
+      // output plane rows directly — no row copies in or out.
       std::vector<int32_t> buf_a((size_t)max_ft * W), buf_b((size_t)max_ft * W);
+      std::vector<const int32_t*> srcp(max_ft);
+      std::vector<int32_t*> dstp(max_ft);
       for (int y = 0; y < H; y++) {
-        int32_t* in = buf_a.data();
-        int32_t* sc = buf_b.data();
-        for (int i = 0; i < n_in; i++)
-          std::memcpy(in + (size_t)i * W, &planes[i].data[(size_t)y * W],
-                      W * sizeof(int32_t));
+        int32_t* lbuf_in = buf_a.data();
+        int32_t* lbuf_out = buf_b.data();
         for (int l = 0; l < chain_end; l++) {
           bool residual = syn_desc[4 * l + 2] != 0;
           bool relu = syn_desc[4 * l + 3] != 0;
           const int ci = cins[l], co = couts[l];
+          for (int i = 0; i < ci; i++)
+            srcp[i] = l == 0 ? &planes[i].data[(size_t)y * W]
+                             : lbuf_in + (size_t)i * W;
+          for (int o = 0; o < co; o++)
+            dstp[o] = l == chain_end - 1 ? &next[o].data[(size_t)y * W]
+                                         : lbuf_out + (size_t)o * W;
           // X-blocked accumulation: the whole accumulator strip stays in
           // registers while all ci inputs stream through, instead of a
           // load+store of acc per (input, x) — ~2x on the 7->48 layer.
@@ -356,17 +407,17 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
               if (nb == XB) {
                 for (int x = 0; x < XB; x++) accb[x] = bias;
                 if (residual) {
-                  const int32_t* r = in + (size_t)o * W + x0;
+                  const int32_t* r = srcp[o] + x0;
                   for (int x = 0; x < XB; x++)
                     accb[x] += r[x] << SYN_MUL_PRECISION;
                 }
                 for (int i = 0; i < ci; i++) {
                   const int32_t wgt = krow[i];
                   if (wgt == 0) continue;
-                  const int32_t* s = in + (size_t)i * W + x0;
+                  const int32_t* s = srcp[i] + x0;
                   for (int x = 0; x < XB; x++) accb[x] += s[x] * wgt;
                 }
-                int32_t* dst = sc + (size_t)o * W + x0;
+                int32_t* dst = dstp[o] + x0;
                 for (int x = 0; x < XB; x++) {
                   int32_t sum = accb[x];
                   if (sum < 0)
@@ -377,17 +428,17 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
               } else {
                 for (int x = 0; x < nb; x++) accb[x] = bias;
                 if (residual) {
-                  const int32_t* r = in + (size_t)o * W + x0;
+                  const int32_t* r = srcp[o] + x0;
                   for (int x = 0; x < nb; x++)
                     accb[x] += r[x] << SYN_MUL_PRECISION;
                 }
                 for (int i = 0; i < ci; i++) {
                   const int32_t wgt = krow[i];
                   if (wgt == 0) continue;
-                  const int32_t* s = in + (size_t)i * W + x0;
+                  const int32_t* s = srcp[i] + x0;
                   for (int x = 0; x < nb; x++) accb[x] += s[x] * wgt;
                 }
-                int32_t* dst = sc + (size_t)o * W + x0;
+                int32_t* dst = dstp[o] + x0;
                 for (int x = 0; x < nb; x++) {
                   int32_t sum = accb[x];
                   if (sum < 0)
@@ -398,17 +449,16 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
               }
             }
           }
-          std::swap(in, sc);
+          std::swap(lbuf_in, lbuf_out);
         }
-        for (int o = 0; o < final_ft; o++)
-          std::memcpy(&next[o].data[(size_t)y * W], in + (size_t)o * W,
-                      W * sizeof(int32_t));
       }
       planes = std::move(next);
       n_in = final_ft;
       l0 = chain_end;
     }
   }
+  const auto t_chain = std::chrono::steady_clock::now();
+  g_stage_secs[2] = std::chrono::duration<double>(t_chain - t_syn0).count();
 
   for (int l = l0; l < n_syn_layers; l++) {
     int out_ft = syn_desc[4 * l + 0];
@@ -417,28 +467,48 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
     bool relu = syn_desc[4 * l + 3] != 0;
     int pad = (ks - 1) / 2;
 
-    std::vector<Plane> padded(n_in);
-    for (int i = 0; i < n_in; i++)
-      padded[i] = pad > 0 ? pad_plane(planes[i], pad, /*replicate=*/true)
-                          : std::move(planes[i]);
-    int pw = W + 2 * pad;  // padded row stride
-
     std::vector<Plane> next(out_ft);
     for (int o = 0; o < out_ft; o++) next[o].resize(H, W);
 
+    // Line-based conv with inline replicate clamping: no padded plane
+    // copies (the reference's line-buffer strategy, synlb_*.hpp), interior
+    // X-blocked so the accumulator strip vectorizes over shifted loads.
+    auto clampy = [&](int y) { return y < 0 ? 0 : (y >= H ? H - 1 : y); };
+    auto clampx = [&](int x) { return x < 0 ? 0 : (x >= W ? W - 1 : x); };
+    std::vector<const int32_t*> srows_v((size_t)n_in * ks);
+    const int32_t** srows = srows_v.data();
     for (int o = 0; o < out_ft; o++) {
       const int32_t* kbase = wp + (size_t)o * n_in * ks * ks;
       const int32_t bias = bp[o];
       constexpr int XB = 64;
       int32_t accb[XB];
       for (int y = 0; y < H; y++) {
-        const int32_t* rres =
-            residual ? (pad > 0 ? &padded[o].data[(size_t)(y + pad) * pw + pad]
-                                : &padded[o].data[(size_t)y * W])
-                     : nullptr;
+        const int32_t* rres = residual ? &planes[o].data[(size_t)y * W] : nullptr;
         int32_t* dst = &next[o].data[(size_t)y * W];
-        for (int x0 = 0; x0 < W; x0 += XB) {
-          const int nb = W - x0 < XB ? W - x0 : XB;
+        // clamped source row base pointers per (input, tap-row)
+        for (int i = 0; i < n_in; i++)
+          for (int yy = 0; yy < ks; yy++)
+            srows[i * ks + yy] =
+                &planes[i].data[(size_t)clampy(y + yy - pad) * W];
+        auto border_px = [&](int x) {
+          int32_t sum = bias;
+          if (rres) sum += rres[x] << SYN_MUL_PRECISION;
+          const int32_t* k = kbase;
+          for (int i = 0; i < n_in; i++)
+            for (int yy = 0; yy < ks; yy++) {
+              const int32_t* src = srows[i * ks + yy];
+              for (int xx = 0; xx < ks; xx++)
+                sum += src[clampx(x + xx - pad)] * *k++;
+            }
+          if (sum < 0)
+            dst[x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
+          else
+            dst[x] = sum >> SYN_MUL_PRECISION;
+        };
+        for (int x = 0; x < pad && x < W; x++) border_px(x);
+        const int xi1 = W - pad;  // interior [pad, xi1)
+        for (int x0 = pad; x0 < xi1; x0 += XB) {
+          const int nb = xi1 - x0 < XB ? xi1 - x0 : XB;
           for (int x = 0; x < nb; x++) accb[x] = bias;
           if (rres)
             for (int x = 0; x < nb; x++)
@@ -446,11 +516,11 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
           const int32_t* k = kbase;
           for (int i = 0; i < n_in; i++) {
             for (int yy = 0; yy < ks; yy++) {
-              const int32_t* src = &padded[i].data[(size_t)(y + yy) * pw] + x0;
+              const int32_t* srow = srows[i * ks + yy] + x0 - pad;
               for (int xx = 0; xx < ks; xx++) {
                 const int32_t wgt = *k++;
                 if (wgt == 0) continue;
-                const int32_t* s = src + xx;
+                const int32_t* s = srow + xx;
                 if (nb == XB) {
                   for (int x = 0; x < XB; x++) accb[x] += s[x] * wgt;
                 } else {
@@ -467,6 +537,7 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
               dst[x0 + x] = sum >> SYN_MUL_PRECISION;
           }
         }
+        for (int x = xi1 > pad ? xi1 : pad; x < W; x++) border_px(x);
       }
     }
     wp += (size_t)out_ft * n_in * ks * ks;
@@ -476,11 +547,12 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
   }
 
   for (int o = 0; o < n_in; o++)
-    std::memcpy(out + (size_t)o * H * W, planes[o].data.data(),
+    std::memcpy(out + (size_t)o * H * W, planes[o].data,
                 (size_t)H * W * sizeof(int32_t));
   g_stage_secs[1] = std::chrono::duration<double>(
                         std::chrono::steady_clock::now() - t_syn0)
                         .count();
+  g_stage_secs[3] = g_stage_secs[1] - g_stage_secs[2];
 }
 
 }  // extern "C"
