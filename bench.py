@@ -99,7 +99,15 @@ def probe_matmul_tflops(seed: int) -> float:
 
 
 def measure(batch: int, trial: int) -> float:
-    """Aggregate img-it/s at this batch size (raises on OOM/tunnel crash)."""
+    """Aggregate img-it/s at this batch size (raises on OOM/tunnel crash).
+
+    Batch sizes above 32 run as alternating resident halves: every image's
+    params + optimizer state stay on-chip for the whole block, but the
+    activation temps (the 7.8G that a batch-32 program needs) exist for
+    one half at a time — a single monolithic batch-64 program lands at
+    ~15.6G, over this chip's HBM once XLA's temps are laid out. The
+    timed quantity is still aggregate img-it/s over ALL resident images.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -119,26 +127,39 @@ def measure(batch: int, trial: int) -> float:
         noise_parameter=(0.25, 0.1),
     )
     base = jax.random.PRNGKey(1000 + trial)
-    keys = jax.random.split(jax.random.fold_in(base, 0), batch)
-    params = jax.vmap(lambda k: init_coolchic_params(k, cfg, "normal"))(keys)
-    targets = jax.random.uniform(jax.random.fold_in(base, 1), (batch, 3, *cfg.img_size))
-    lmbdas = jnp.full((batch,), 1e-3)
+    chunk = min(batch, 32)
+    n_chunks = (batch + chunk - 1) // chunk
+    assert batch == chunk * n_chunks
+
+    halves = []
+    for ci in range(n_chunks):
+        keys = jax.random.split(jax.random.fold_in(base, ci), chunk)
+        params = jax.vmap(lambda k: init_coolchic_params(k, cfg, "normal"))(keys)
+        targets = jax.random.uniform(
+            jax.random.fold_in(base, 100 + ci), (chunk, 3, *cfg.img_size)
+        )
+        halves.append({"params": params, "targets": targets, "keys": keys})
+    lmbdas = jnp.full((chunk,), 1e-3)
 
     run = jax.jit(jax.vmap(lambda p, t, l, k: run_phase(p, t, l, k, cfg, phase)))
     t_warm = time.perf_counter()
-    params, logs = run(params, targets, lmbdas, keys)  # compile + warm
-    _ = float(jnp.sum(logs.loss))
+    for hv in halves:  # compile once, warm every half
+        hv["params"], hv["logs"] = run(hv["params"], hv["targets"], lmbdas, hv["keys"])
+    _ = float(sum(jnp.sum(hv["logs"].loss) for hv in halves))
     warm_dt = time.perf_counter() - t_warm
 
     # A degraded tunnel runs 10-100x slow; shrink the timed chain so the
     # trial still completes inside the worker timeout.
-    n_calls = 4 if warm_dt < 20 else 1
+    n_calls = 4 if warm_dt < 20 * n_chunks else 1
     t0 = time.perf_counter()
     for i in range(n_calls):
-        keys = jax.random.split(jax.random.fold_in(base, 2 + i), batch)
-        params, logs = run(params, targets, lmbdas, keys)  # chained state
+        for ci, hv in enumerate(halves):
+            keys = jax.random.split(jax.random.fold_in(base, 200 + i * 8 + ci), chunk)
+            hv["params"], hv["logs"] = run(
+                hv["params"], hv["targets"], lmbdas, keys
+            )  # chained state
     # device->host transfer anchors the timing to real completion.
-    _ = float(jnp.sum(logs.loss))
+    _ = float(sum(jnp.sum(hv["logs"].loss) for hv in halves))
     dt = time.perf_counter() - t0
     return batch * n_calls * PHASE_ITERS / dt
 

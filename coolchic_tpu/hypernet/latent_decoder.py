@@ -114,17 +114,15 @@ class LatentDecoder:
         stop_grads: bool = True,
     ) -> Params:
         """Fold latents + deltas into a standard per-image params pytree
-        usable by ``frame_forward`` / the bitstream writer (reference:
+        usable by ``coolchic_forward`` / the training loop (reference:
         LatentDecoder.as_coolchic, hypernet.py:1020-1090; only the
-        stop_grads=True path exists there too).
-
-        The stored latent convention divides by ``encoder_gain`` — the
-        forward multiplies it back (same convention as
-        ``image_to_coolchic``, wholenet.py).
+        stop_grads=True path exists there too). Latents are stored
+        unchanged — like the reference, both the latent-argument forward
+        and the stored-params forward apply ``encoder_gain`` at use time,
+        so ``coolchic_forward(as_coolchic(...))`` equals
+        ``forward(nets, latents, ...)`` exactly.
         """
         assert stop_grads, "only the stop_grads=True path is defined"
         params = dict(self._with_deltas(nets, synth_delta, arm_delta))
-        params["latents"] = [
-            jax.lax.stop_gradient(l / self.cfg.encoder_gain) for l in latents
-        ]
+        params["latents"] = list(latents)
         return jax.tree.map(jax.lax.stop_gradient, params)

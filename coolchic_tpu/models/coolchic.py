@@ -17,6 +17,7 @@ the outside — nothing here carries a batch dimension.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -183,13 +184,33 @@ def coolchic_forward(
             grid_masks.append(None)
         y_hat.append(q)
 
-    # ----- ARM over all grids at once: one [M, C] x [C, C] matmul chain.
-    flat_context = jnp.concatenate(
-        [get_neighbors(y, cfg.dim_arm) for y in y_hat], axis=0
-    )
-    mu, scale, log_scale = arm_apply(params["arm"], flat_context)
+    # ----- ARM over all grids: either one [M, C] x [C, C] matmul chain
+    # (XLA; training path — needs the backward and the mu/log_scale
+    # extras), or the fused Pallas kernel (eval path behind the
+    # COOLCHIC_PALLAS_EVAL flag: no [M, dim_arm] HBM context residual).
     flat_latent = jnp.concatenate([y.reshape(-1) for y in y_hat], axis=0)
-    rate = latent_rate_bits(flat_latent, mu, scale)
+    use_pallas = (
+        not training
+        and valid_hw is None
+        and os.environ.get("COOLCHIC_PALLAS_EVAL", "0") == "1"
+    )
+    if use_pallas:
+        from coolchic_tpu.ops.pallas_arm import arm_rate_pallas_pyramid
+
+        rate = arm_rate_pallas_pyramid(
+            y_hat,
+            params["arm"],
+            cfg.dim_arm,
+            cfg.n_hidden_layers_arm,
+            interpret=jax.default_backend() == "cpu",
+        )
+        mu = log_scale = None
+    else:
+        flat_context = jnp.concatenate(
+            [get_neighbors(y, cfg.dim_arm) for y in y_hat], axis=0
+        )
+        mu, scale, log_scale = arm_apply(params["arm"], flat_context)
+        rate = latent_rate_bits(flat_latent, mu, scale)
     if valid_hw is not None:
         flat_mask = jnp.concatenate(
             [

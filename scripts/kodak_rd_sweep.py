@@ -42,13 +42,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
-REF_BITSTREAMS = Path("/root/reference/results/image/kodak/bitstreams")
-WORKDIR = Path(__file__).resolve().parents[1] / "results/image/kodak/tpu_sweep"
-
 # published-lambda <-> filename-suffix map (e.g. kodim01-lmbda-0004.cool)
 LMBDA_SUFFIX = {1e-4: "00001", 4e-4: "00004", 1e-3: "0001", 4e-3: "0004", 2e-2: "002"}
 PROXY_LMBDA = 1e-4
 SWEEP_LAMBDAS = (4e-4, 1e-3, 4e-3, 2e-2)
+
+# ---- dataset selection (--dataset; default kodak keeps the original
+# layout and the state/CLI contract of running sweeps untouched).
+DATASET = "kodak"
+REF_BITSTREAMS = Path("/root/reference/results/image/kodak/bitstreams")
+WORKDIR = Path(__file__).resolve().parents[1] / "results/image/kodak/tpu_sweep"
 SEQS = [f"kodim{i:02d}" for i in range(1, 25)]
 
 BATCH = 8  # jobs per checkpointed batch (fixed shapes reuse compiled programs)
@@ -58,6 +61,28 @@ DEV_CHUNK = 4  # jobs per DEVICE call: XLA lays several conv-gradient temps
 # at batch 8 compiles ~16M past the 15.75G HBM; batch 4 fits with ~11G slack
 SEG_ITERS = 2000  # max gradient iterations per TPU call (healthy chip)
 CKPT_EVERY = 4  # checkpoint the batch state every N segments
+
+
+def set_dataset(name: str) -> None:
+    """Point the sweep at another published dataset. CLIC20 images are ~2K
+    with per-image sizes, so batches shrink to the 4 lambdas of one image
+    (same shape) and device calls run one job at a time (a single 2K
+    training program uses about as much HBM as the batch-8 Kodak one)."""
+    global DATASET, REF_BITSTREAMS, WORKDIR, SEQS, BATCH, DEV_CHUNK
+    DATASET = name
+    root = Path(__file__).resolve().parents[1]
+    REF_BITSTREAMS = Path(f"/root/reference/results/image/{name}/bitstreams")
+    WORKDIR = root / f"results/image/{name}/tpu_sweep"
+    if name == "kodak":
+        SEQS = [f"kodim{i:02d}" for i in range(1, 25)]
+        BATCH, DEV_CHUNK = 8, 4
+    else:
+        suffix = LMBDA_SUFFIX[PROXY_LMBDA]
+        SEQS = sorted(
+            f.stem[: -len(f"-lmbda-{suffix}")]
+            for f in REF_BITSTREAMS.glob(f"*-lmbda-{suffix}.cool")
+        )
+        BATCH, DEV_CHUNK = 4, 1
 
 BUDGETS = {  # (phase1 iters, n_loops) — reference cfg/enc/{fast,medium,slow}.cfg
     "fast": (10_600, 1),
@@ -517,7 +542,8 @@ def cmd_run(args) -> None:
         for wait_round in range(10):
             try:
                 pr = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "probe"],
+                    [sys.executable, os.path.abspath(__file__), "probe",
+                     "--dataset", args.dataset],
                     env=env, cwd="/root/repo", capture_output=True, text=True,
                     timeout=600,  # degraded-tunnel compiles run ~5 min
                 )
@@ -541,7 +567,8 @@ def cmd_run(args) -> None:
               flush=True)
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "encode",
-             "--budget", args.budget, "--seed", str(args.seed)],
+             "--budget", args.budget, "--seed", str(args.seed),
+             "--dataset", args.dataset],
             env=env, cwd="/root/repo",
         )
         # Progress-based watchdog: a healthy worker advances some batch
@@ -691,11 +718,14 @@ def main():
         p.set_defaults(fn=fn)
         p.add_argument("--budget", choices=list(BUDGETS), default="fast")
         p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--dataset", default="kodak")
         if name == "encode":
             p.add_argument("--batch", type=int, default=None)
         if name == "run":
             p.add_argument("--max_attempts", type=int, default=60)
     args = ap.parse_args()
+    if args.dataset != "kodak":
+        set_dataset(args.dataset)
     args.fn(args)
 
 

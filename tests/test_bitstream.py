@@ -25,6 +25,8 @@ from coolchic_tpu.train import TrainerPhase, run_phase
 from coolchic_tpu.train.loss import loss_function
 from coolchic_tpu.train.quantize_model import quantize_model_with_info
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 CFG = CoolChicConfig(
     img_size=(32, 48),
     n_ft_per_res=(1, 1, 1, 1),

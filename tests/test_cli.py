@@ -16,6 +16,8 @@ from coolchic_tpu.utils.types import (
     load_config,
 )
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 
 def test_decoder_config_parsing():
     dc = DecoderConfig(arm="16,2", layers_synthesis="8-1-linear-relu,X-1-linear-none")

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 REF_CPP = Path("/root/reference/coolchic/cpp")
 BUILD_DIR = Path(tempfile.gettempdir()) / "ccdec_build_test"
 

@@ -13,6 +13,8 @@ from coolchic_tpu.models import (
     macs_per_pixel,
 )
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 CFG = CoolChicConfig(
     img_size=(24, 36),
     n_ft_per_res=(1, 1, 1, 1),

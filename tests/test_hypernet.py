@@ -21,6 +21,8 @@ from coolchic_tpu.metalearning import synthetic_batches
 from coolchic_tpu.models import CoolChicConfig
 from coolchic_tpu.train.presets import TrainerPhase
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 CFG = CoolChicConfig(
     img_size=(32, 32),
     n_ft_per_res=(1, 1, 1),

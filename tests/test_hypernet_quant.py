@@ -13,6 +13,8 @@ from coolchic_tpu.hypernet.inference import (
 )
 from coolchic_tpu.models.config import CoolChicConfig
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 CFG = CoolChicConfig(
     img_size=(32, 32),
     n_ft_per_res=(1, 1, 1),

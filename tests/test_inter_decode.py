@@ -20,6 +20,8 @@ from coolchic_tpu.bitstream.header import GopHeader, write_gop_header
 from coolchic_tpu.bitstream.inter import bpred_int, warp_int
 from coolchic_tpu.models import CoolChicConfig, init_coolchic_params
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 H, W = 32, 48
 ARCH = dict(
     img_size=(H, W),

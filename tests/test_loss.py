@@ -43,6 +43,7 @@ def test_loss_function_respects_frame_data_type():
     assert float(plain.mse) != pytest.approx(float(weighted.mse), rel=1e-3)
 
 
+@pytest.mark.slow
 def test_eval_metrics_uses_yuv420_loss_via_config():
     """cfg.frame_data_type='yuv420' threads the weighted MSE through the
     jitted eval/training path."""

@@ -72,6 +72,7 @@ def test_plotting_writes_png(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_retrain_latents_cli(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -11,6 +11,8 @@ from coolchic_tpu.train import TrainerPhase, encode_frame_batch, run_phase
 from coolchic_tpu.train.loss import loss_function
 from coolchic_tpu.train.presets import Preset, Warmup, WarmupPhase
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 ARCH = dict(
     n_ft_per_res=(1, 1, 1),
     layers_synthesis=("8-1-linear-relu", "X-1-linear-none", "X-3-residual-relu"),

@@ -13,6 +13,8 @@ from coolchic_tpu.models.arm import (
 )
 from coolchic_tpu.ops.pallas_arm import arm_rate_pallas, arm_rate_pallas_pyramid
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 
 def reference_rate(latent_plane, params, dim_arm):
     ctx = get_neighbors(latent_plane[None], dim_arm)

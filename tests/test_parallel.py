@@ -15,6 +15,8 @@ from coolchic_tpu.parallel import (
 )
 from coolchic_tpu.train.presets import TrainerPhase
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 CFG = CoolChicConfig(
     img_size=(16, 16),
     n_ft_per_res=(1, 1, 1),

@@ -16,6 +16,8 @@ from coolchic_tpu.train.step import (
     run_phase_rem_block,
 )
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 CFG = CoolChicConfig(
     img_size=(16, 24),
     n_ft_per_res=(1, 1, 1),

@@ -18,6 +18,8 @@ from coolchic_tpu.train import (
     warmup,
 )
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 CFG = CoolChicConfig(
     img_size=(16, 24),
     n_ft_per_res=(1, 1, 1),

@@ -16,6 +16,8 @@ from coolchic_tpu.video import (
     warp,
 )
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 
 def test_all_intra():
     cs = CodingStructure(intra_period=0, p_period=0)

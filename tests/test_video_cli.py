@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # heavy compile/build; excluded from `-m 'not slow'` fast tier
+
 
 @pytest.mark.slow
 def test_cli_yuv_video_roundtrip(tmp_path):
