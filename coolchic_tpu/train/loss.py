@@ -59,18 +59,31 @@ def loss_function(
             already masks the rate of padded latents, models/masking.py).
     """
     if valid_hw is not None:
-        assert frame_data_type == "rgb", (
-            "mixed-size batching is an image-path feature; yuv420 video "
-            "frames share one size"
-        )
         from coolchic_tpu.models.masking import valid_mask_2d
 
         m = valid_mask_2d(decoded.shape[-2], decoded.shape[-1],
                           valid_hw[0], valid_hw[1], decoded.dtype)
         n_pixels = (valid_hw[0] * valid_hw[1]).astype(decoded.dtype)
-        mse = jnp.sum(((decoded - target) * m) ** 2) / (
-            decoded.shape[0] * n_pixels
-        )
+        if frame_data_type == "yuv420":
+            # Masked 4:1:1 MSE on the subsampled chroma grid. 420 frames
+            # have even true dims, so the even-index subsample of the luma
+            # mask has exactly (hv/2)*(wv/2) ones.
+            mc = m[::2, ::2]
+            n_c = ((valid_hw[0] + 1) // 2 * ((valid_hw[1] + 1) // 2)).astype(
+                decoded.dtype
+            )
+            mse_y = jnp.sum(((decoded[0] - target[0]) * m) ** 2) / n_pixels
+            mse_u = jnp.sum(
+                ((decoded[1, ::2, ::2] - target[1, ::2, ::2]) * mc) ** 2
+            ) / n_c
+            mse_v = jnp.sum(
+                ((decoded[2, ::2, ::2] - target[2, ::2, ::2]) * mc) ** 2
+            ) / n_c
+            mse = (4.0 * mse_y + mse_u + mse_v) / 6.0
+        else:
+            mse = jnp.sum(((decoded - target) * m) ** 2) / (
+                decoded.shape[0] * n_pixels
+            )
     elif frame_data_type == "yuv420":
         mse = yuv420_mse(decoded, target)
         n_pixels = decoded.shape[-2] * decoded.shape[-1]

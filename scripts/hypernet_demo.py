@@ -1,0 +1,276 @@
+"""Hypernet demonstration on REAL images (round-2 verdict item 8).
+
+No dataset egress exists in this environment, so the real-image corpus is
+the set of decoded reference reconstructions (lambda=1e-4 published
+bitstreams: 24 Kodak + ~41 CLIC20 images) — actual photographic content,
+not synthetic gradients. The demo trains NOWholeNet -> DeltaWholeNet on
+patches from the train split and then shows, on HELD-OUT images, that the
+hypernet-initialized decoder beats a from-scratch decoder at the SAME
+iteration budget (reference ablation format:
+switch-ablation-exps/*/config_0*/kodak_results.csv).
+
+    python scripts/hypernet_demo.py corpus            # build PNG corpus
+    python scripts/hypernet_demo.py train [--platform cpu|tpu]
+    python scripts/hypernet_demo.py eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import pickle
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parents[1]
+WORKDIR = ROOT / "results/hypernet_demo"
+CORPUS = WORKDIR / "corpus"
+
+PATCH = (128, 128)
+BATCH = 8
+LMBDA = 1e-3
+NO_SAMPLES = 16_000
+DELTA_SAMPLES = 12_000
+EVAL_ITERS = 300  # equal-budget comparison on held-out images
+EVAL_PATCH = (256, 256)
+
+
+def demo_cfg():
+    from coolchic_tpu.models import CoolChicConfig
+
+    # Patch-sized operating point; the standard 7-grid pyramid with a
+    # mid-size ARM keeps the CPU demo tractable while staying
+    # representative.
+    return CoolChicConfig(
+        img_size=PATCH,
+        n_ft_per_res=(1, 1, 1, 1, 1, 1, 1),
+        dim_arm=16,
+        n_hidden_layers_arm=2,
+        layers_synthesis=(
+            "16-1-linear-relu",
+            "X-1-linear-none",
+            "X-3-residual-none",
+        ),
+    )
+
+
+def _force_platform(platform: str) -> None:
+    if platform == "cpu":
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=1"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+# ------------------------------------------------------------------ corpus
+
+
+def cmd_corpus(_args) -> None:
+    from coolchic_tpu.bitstream import decode_bitstream
+    from coolchic_tpu.io import write_png
+
+    CORPUS.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for ds in ("kodak", "clic20-pro-valid"):
+        bsdir = Path(f"/root/reference/results/image/{ds}/bitstreams")
+        for f in sorted(bsdir.glob("*-lmbda-00001.cool")):
+            out = CORPUS / f"{ds}-{f.stem.replace('-lmbda-00001', '')}.png"
+            if out.exists():
+                n += 1
+                continue
+            img, _ = decode_bitstream(f.read_bytes(), integer_pipeline=True)
+            write_png(np.clip(img, 0, 1), str(out))
+            n += 1
+            print(f"{out.name}", flush=True)
+    print(f"corpus: {n} real decoded images in {CORPUS}")
+
+
+# ------------------------------------------------------------------- train
+
+
+def cmd_train(args) -> None:
+    _force_platform(args.platform)
+    import jax
+
+    from coolchic_tpu.hypernet import DeltaWholeNet, NOWholeNet
+    from coolchic_tpu.metalearning.data import PatchDataset, train_test_split
+    from coolchic_tpu.train.presets import TrainerPhase
+    from coolchic_tpu.hypernet.training import train_wholenet
+
+    cfg = demo_cfg()
+    paths = sorted(CORPUS.glob("*.png"))
+    assert paths, "run `corpus` first"
+    train_paths, test_paths = train_test_split(paths)
+    print(f"{len(train_paths)} train / {len(test_paths)} held-out images")
+
+    ds = PatchDataset(train_paths, PATCH, seed=0)
+    eval_ds = PatchDataset(test_paths, PATCH, seed=1)
+    eval_imgs = np.stack([eval_ds[i] for i in range(8)], 0)
+
+    phase = TrainerPhase(
+        lr=1e-4,
+        max_itr=10**9,
+        schedule_lr=True,
+        quantizer_type="softround",
+        quantizer_noise_type="gaussian",
+        softround_temperature=(0.3, 0.2),
+        noise_parameter=(0.25, 0.15),
+    )
+
+    WORKDIR.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+
+    no_ckpt = WORKDIR / "no_wholenet.pkl"
+    no_net = NOWholeNet(cfg)
+    if no_ckpt.exists():
+        no_state = pickle.load(open(no_ckpt, "rb"))
+        print("loaded NO checkpoint")
+    else:
+        no_state = no_net.init(jax.random.PRNGKey(0), PATCH)
+        no_state, logs = train_wholenet(
+            no_net, no_state, ds.batches(BATCH, seed=2), eval_imgs, LMBDA,
+            phase, jax.random.PRNGKey(1), n_samples=args.no_samples,
+            batch_size=BATCH, freq_valid_samples=1600,
+            workdir=WORKDIR / "no", checkpointing_freq_samples=4000,
+        )
+        pickle.dump(no_state, open(no_ckpt, "wb"))
+        print(f"NO trained ({time.time() - t0:.0f} s)")
+
+    delta_ckpt = WORKDIR / "delta_wholenet.pkl"
+    delta_net = DeltaWholeNet(cfg)
+    if not delta_ckpt.exists():
+        dstate = delta_net.init(jax.random.PRNGKey(2), PATCH)
+        dstate = delta_net.load_from_no_coolchic(no_state, dstate)
+        dstate, logs = train_wholenet(
+            delta_net, dstate, ds.batches(BATCH, seed=3), eval_imgs, LMBDA,
+            phase, jax.random.PRNGKey(3), n_samples=args.delta_samples,
+            batch_size=BATCH, freq_valid_samples=1600,
+            unfreeze_backbone_samples=args.delta_samples // 4,
+            workdir=WORKDIR / "delta", checkpointing_freq_samples=4000,
+        )
+        pickle.dump(dstate, open(delta_ckpt, "wb"))
+        print(f"Delta trained ({time.time() - t0:.0f} s total)")
+    print("train: done")
+
+
+# -------------------------------------------------------------------- eval
+
+
+def cmd_eval(args) -> None:
+    _force_platform(args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from coolchic_tpu.hypernet import DeltaWholeNet, NOWholeNet
+    from coolchic_tpu.metalearning.data import PatchDataset, train_test_split
+    from coolchic_tpu.models import CoolChicConfig, init_coolchic_params
+    from coolchic_tpu.train.presets import TrainerPhase
+    from coolchic_tpu.train.step import eval_metrics, run_phase
+
+    cfg_p = demo_cfg()
+    cfg_e = CoolChicConfig(
+        img_size=EVAL_PATCH,
+        n_ft_per_res=cfg_p.n_ft_per_res,
+        dim_arm=cfg_p.dim_arm,
+        n_hidden_layers_arm=cfg_p.n_hidden_layers_arm,
+        layers_synthesis=cfg_p.layers_synthesis,
+    )
+    paths = sorted(CORPUS.glob("*.png"))
+    _, test_paths = train_test_split(paths)
+    eval_ds = PatchDataset(test_paths, EVAL_PATCH, seed=7)
+
+    no_state = pickle.load(open(WORKDIR / "no_wholenet.pkl", "rb"))
+    d_state = pickle.load(open(WORKDIR / "delta_wholenet.pkl", "rb"))
+    no_net = NOWholeNet(cfg_e)
+    d_net = DeltaWholeNet(cfg_e)
+
+    tune = TrainerPhase(
+        lr=1e-3,
+        max_itr=EVAL_ITERS,
+        freq_valid=EVAL_ITERS,
+        quantizer_type="softround",
+        quantizer_noise_type="gaussian",
+        softround_temperature=(0.3, 0.2),
+        noise_parameter=(0.25, 0.15),
+    )
+
+    rows = []
+    n_eval = min(args.n_images, len(test_paths))
+    for i in range(n_eval):
+        img = jnp.asarray(eval_ds[i])
+        key = jax.random.PRNGKey(100 + i)
+        row = {"seq_name": test_paths[i].stem}
+
+        # hypernet one-shot (no per-image optimization at all)
+        params_hn = d_net.image_to_coolchic(d_state, img)
+        m = eval_metrics(params_hn, cfg_e, img, LMBDA)
+        row["hn_oneshot_psnr"] = float(m.psnr_db)
+        row["hn_oneshot_bpp"] = float(m.rate_latent_bpp)
+        row["hn_oneshot_loss"] = float(m.loss)
+
+        # hypernet init + K-iteration per-image finetune
+        p, _ = run_phase(params_hn, img, LMBDA, key, cfg_e, tune)
+        m = eval_metrics(p, cfg_e, img, LMBDA)
+        row["hn_tuneK_psnr"] = float(m.psnr_db)
+        row["hn_tuneK_bpp"] = float(m.rate_latent_bpp)
+        row["hn_tuneK_loss"] = float(m.loss)
+
+        # from-scratch, SAME K iterations (equal budget)
+        p0 = init_coolchic_params(jax.random.fold_in(key, 1), cfg_e)
+        p, _ = run_phase(p0, img, LMBDA, jax.random.fold_in(key, 2), cfg_e, tune)
+        m = eval_metrics(p, cfg_e, img, LMBDA)
+        row["scratchK_psnr"] = float(m.psnr_db)
+        row["scratchK_bpp"] = float(m.rate_latent_bpp)
+        row["scratchK_loss"] = float(m.loss)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = WORKDIR / "results.csv"
+    with open(out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    mean = lambda k: sum(r[k] for r in rows) / len(rows)  # noqa: E731
+    summary = {
+        "n_images": len(rows),
+        "lmbda": LMBDA,
+        "iters": EVAL_ITERS,
+        "hn_oneshot_loss": mean("hn_oneshot_loss"),
+        "hn_tuneK_loss": mean("hn_tuneK_loss"),
+        "scratchK_loss": mean("scratchK_loss"),
+        "hn_tuneK_beats_scratch": mean("hn_tuneK_loss") < mean("scratchK_loss"),
+    }
+    (WORKDIR / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("corpus", cmd_corpus), ("train", cmd_train),
+                     ("eval", cmd_eval)]:
+        p = sub.add_parser(name)
+        p.set_defaults(fn=fn)
+        p.add_argument("--platform", default="cpu", choices=("cpu", "tpu"))
+        if name == "train":
+            p.add_argument("--no_samples", type=int, default=NO_SAMPLES)
+            p.add_argument("--delta_samples", type=int, default=DELTA_SAMPLES)
+        if name == "eval":
+            p.add_argument("--n_images", type=int, default=6)
+    args = ap.parse_args()
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

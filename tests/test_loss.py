@@ -86,3 +86,25 @@ def test_video_cli_builds_yuv420_config(tmp_path):
     fname = "seq_416x240_25fps_yuv420_8b.yuv"
     fdt = "yuv420" if "420" in fname else "yuv444"
     assert fdt == "yuv420"
+
+
+def test_masked_yuv420_loss_matches_unpadded():
+    """A 420 frame padded into a larger buffer with valid_hw must produce
+    exactly the cropped frame's yuv420 loss (video frames can ride the
+    mixed-size batching lane; round-2 verdict weak #8)."""
+    hv, wv = 16, 24
+    a, b = _imgs(jax.random.PRNGKey(3), hv, wv)
+    rate = jnp.arange(5.0)
+    want = loss_function(a, rate, b, 1e-3, frame_data_type="yuv420")
+
+    pad = ((0, 0), (0, 8), (0, 8))
+    ap = jnp.pad(a, pad, mode="edge")  # garbage beyond the valid edge
+    bp = jnp.pad(b, pad)
+    got = loss_function(
+        ap, rate, bp, 1e-3, frame_data_type="yuv420",
+        valid_hw=jnp.array([hv, wv], jnp.int32),
+    )
+    for name in ("loss", "mse", "psnr_db", "rate_latent_bpp", "total_rate_bpp"):
+        assert float(getattr(got, name)) == pytest.approx(
+            float(getattr(want, name)), rel=1e-5
+        ), name
