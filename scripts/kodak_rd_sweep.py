@@ -685,8 +685,12 @@ def cmd_finalize(args) -> None:
         "bd_rate_per_seq": {k: round(v, 3) for k, v in sorted(per_seq.items())},
         "caveat": (
             "Both curves measured against the published lambda=1e-4 "
-            "reconstruction as target (originals unavailable offline); "
-            "proxy error floor ~40.5 dB."
+            "reconstruction as target (originals unavailable offline). "
+            "The proxy inflates the PSNR of correlated reconstructions "
+            "(quantified in proxy_bias.json via the reference's published "
+            "true-PSNR table): this number is a LOWER bound on the "
+            "true-space gap, understating it by at most ~8.6% BD-rate "
+            "(scripts/proxy_bias.py)."
         ),
     }
     # canonical judge-visible location + per-budget archive
