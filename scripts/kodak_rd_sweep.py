@@ -47,6 +47,26 @@ LMBDA_SUFFIX = {1e-4: "00001", 4e-4: "00004", 1e-3: "0001", 4e-3: "0004", 2e-2: 
 PROXY_LMBDA = 1e-4
 SWEEP_LAMBDAS = (4e-4, 1e-3, 4e-3, 2e-2)
 
+# Decoder architecture for NEW batches: the reference's dominant published
+# Kodak operating point (97/120 streams code dim_arm=16, 2 hidden layers,
+# 48-wide synthesis; NONE uses our old dim_arm=24 default, whose extra ARM
+# weights cost ~0.5-1 kB of NN rate per stream — 60% of the whole stream
+# at lambda=2e-2 on smooth images). Batches started before this switch
+# carry their architecture in <batch_dir>/arch.json (absent = legacy
+# dim_arm-24 defaults), so resumes and finalize stay shape-consistent.
+SWEEP_ARCH = {"dim_arm": 16}
+
+
+def _batch_arch(bdir: Path, state_exists: bool) -> dict:
+    apath = bdir / "arch.json"
+    if apath.exists():
+        return json.loads(apath.read_text())
+    if state_exists:  # in-flight from before the arch switch
+        return {}
+    bdir.mkdir(parents=True, exist_ok=True)
+    apath.write_text(json.dumps(SWEEP_ARCH))
+    return dict(SWEEP_ARCH)
+
 # ---- dataset selection (--dataset; default kodak keeps the original
 # layout and the state/CLI contract of running sweeps untouched).
 DATASET = "kodak"
@@ -256,7 +276,8 @@ def cmd_encode(args) -> None:
         if fpath.exists():
             continue
         h, w = batch["size"]
-        cfg = CoolChicConfig(img_size=(int(h), int(w)))
+        arch = _batch_arch(bdir, spath.exists())
+        cfg = CoolChicConfig(img_size=(int(h), int(w)), **arch)
         jobs = batch["jobs"]
         targets = np.stack([np.load(tdir / f"{j['seq']}.npy") for j in jobs])
         lmbdas = np.asarray([j["lmbda"] for j in jobs], np.float32)
@@ -622,7 +643,10 @@ def cmd_finalize(args) -> None:
             print(f"batch {bi} not final — run `encode` first")
             continue
         final = _load(fpath)
-        cfg = CoolChicConfig(img_size=tuple(final["cfg_size"]))
+        bdir = _batch_paths(bi, args.budget)[0]
+        apath = bdir / "arch.json"
+        arch = json.loads(apath.read_text()) if apath.exists() else {}
+        cfg = CoolChicConfig(img_size=tuple(final["cfg_size"]), **arch)
         for j, job in enumerate(final["jobs"]):
             if job.get("pad"):
                 continue
