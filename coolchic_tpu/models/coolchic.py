@@ -195,7 +195,15 @@ def coolchic_forward(
         and os.environ.get("COOLCHIC_PALLAS_EVAL", "0") == "1"
     )
     if use_pallas:
-        from coolchic_tpu.ops.pallas_arm import arm_rate_pallas_pyramid
+        from coolchic_tpu.ops.pallas_arm import arm_rate_pallas_pyramid, pallas_fits
+
+        # Static VMEM-fit gate: callers jit the whole eval fn, so an
+        # over-budget pallas_call would fail at compile time where the
+        # runtime fallback in ops.pallas_arm.arm_rate cannot catch it.
+        use_pallas = all(
+            pallas_fits(hh, ww, cfg.dim_arm) for (_, hh, ww) in cfg.latent_shapes
+        )
+    if use_pallas:
 
         rate = arm_rate_pallas_pyramid(
             y_hat,

@@ -32,9 +32,42 @@ from coolchic_tpu.models.arm import MASK_SIZE, context_offsets
 
 _PAD = (MASK_SIZE - 1) // 2  # 4
 
+# Scoped-VMEM budget for tile sizing. The Mosaic compiler keeps roughly
+# _TEMP_FACTOR * dim_arm live [tile_h, w_al] f32 rows per output row (the
+# x/y context-plane generations of the residual MLP plus slice copies);
+# measured 36.7 MB at tile_h=64, dim_arm=24, w_al=768 on this toolchain,
+# i.e. factor ~7.8. The slab input is VMEM-resident on top of that.
+_VMEM_LIMIT = 16 * 2**20
+_TEMP_FACTOR = 8
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _slab_bytes(h: int, w: int) -> int:
+    h_al = _round_up(max(h, 8), 8)
+    w_al = _round_up(max(w, 128), 128)
+    return (h_al + 2 * _PAD) * (w_al + 128) * 4
+
+
+def _budget_tile_h(h: int, w: int, dim_arm: int) -> int:
+    """Largest multiple-of-8 tile height whose temps fit scoped VMEM."""
+    w_al = _round_up(max(w, 128), 128)
+    budget = _VMEM_LIMIT - _slab_bytes(h, w)
+    rows = budget // (_TEMP_FACTOR * dim_arm * w_al * 4)
+    return min(64, _round_up(max(h, 8), 8), max(8, rows // 8 * 8))
+
+
+def pallas_fits(h: int, w: int, dim_arm: int) -> bool:
+    """Static check that the fused kernel fits VMEM at this plane shape.
+
+    Used by callers that jit the *whole* eval function: a pallas_call that
+    exceeds scoped VMEM fails at outer-jit compile time, where arm_rate's
+    runtime try/except cannot fall back — so the choice must be static."""
+    w_al = _round_up(max(w, 128), 128)
+    temps = _TEMP_FACTOR * dim_arm * 8 * w_al * 4  # minimal tile_h = 8
+    return _slab_bytes(h, w) + temps <= _VMEM_LIMIT
 
 
 def _expm1(a):
@@ -105,7 +138,7 @@ def arm_rate_pallas(
     """Rate map [H, W] in bits for one latent plane, fully fused."""
     h, w = latent.shape
     w_al = _round_up(max(w, 128), 128)
-    tile_h = max(8, min(64, _round_up(h, 8)))
+    tile_h = _budget_tile_h(h, w, dim_arm)
     n_tiles = pl.cdiv(h, tile_h)
     h_al = n_tiles * tile_h
 
@@ -161,7 +194,7 @@ def arm_rate(
     toolchain; if a future toolchain rejects a shape again, the failure is
     cached and that shape permanently falls back to XLA."""
     key = (dim_arm, n_hidden)
-    if _PALLAS_OK.get(key, True):
+    if _PALLAS_OK.get(key, True) and pallas_fits(*latent.shape, dim_arm):
         interpret = jax.default_backend() == "cpu"
         try:
             out = arm_rate_pallas(
