@@ -40,6 +40,13 @@ def load_checkpoint(path: Path) -> WholeNetState:
     """Load a checkpoint; ``path`` may be a directory with the ``__latest``
     convention — the highest samples_N.pkl wins
     (reference: delta_hypernet_train.py:58-72, utils/paths.py:38-41)."""
+    return load_checkpoint_meta(path)[0]
+
+
+def load_checkpoint_meta(path: Path) -> tuple[WholeNetState, int]:
+    """(state, samples_seen) of a checkpoint — the sample counter lets a
+    crash-resumed ``train_wholenet`` continue on the global schedule clock
+    (``samples_offset``). Directory paths follow the ``__latest`` rule."""
     path = Path(path)
     if path.is_dir():
         candidates = sorted(
@@ -50,7 +57,8 @@ def load_checkpoint(path: Path) -> WholeNetState:
         path = candidates[-1]
     with open(path, "rb") as f:
         raw = pickle.load(f)
-    return WholeNetState(hypernet=raw["hypernet"], decoder=raw["decoder"])
+    state = WholeNetState(hypernet=raw["hypernet"], decoder=raw["decoder"])
+    return state, int(raw.get("samples_seen", 0))
 
 
 def eval_image_delta_subsets(

@@ -138,6 +138,7 @@ def train_wholenet(
     checkpointing_freq_samples: Optional[int] = None,
     grad_accumulation_steps: int = 1,
     mesh: Optional[Any] = None,
+    samples_offset: int = 0,
 ):
     """Train for ``n_samples`` images with periodic evaluation + patience
     best-reload (reference: training.py:207-392).
@@ -150,11 +151,16 @@ def train_wholenet(
         workdir / checkpointing_freq_samples: write ``samples_{N}.pkl``
             checkpoints every N samples during the run (reference:
             training.py:371-373; resumable via the ``__latest`` convention).
+        samples_offset: samples already seen by a resumed run. ``n_samples``
+            stays the TOTAL target: the step count covers the remainder,
+            while the LR/temperature schedules and checkpoint names continue
+            on the global sample clock (so a crash-resumed run is the same
+            schedule as an uninterrupted one).
 
     Returns:
         (best state, list of HypernetTrainLog).
     """
-    n_steps = max(n_samples // batch_size, 1)
+    n_steps = max((n_samples - samples_offset) // batch_size, 1)
     freq_valid_steps = max(freq_valid_samples // batch_size, 1)
     patience_steps = (
         max(patience_samples // batch_size, 1) if patience_samples else None
@@ -187,7 +193,7 @@ def train_wholenet(
     t0 = time.time()
 
     for i in range(n_steps):
-        samples_seen = i * batch_size
+        samples_seen = samples_offset + i * batch_size
         # Un/refreeze the backbone once the threshold is crossed. The
         # optimizer chain is identical (freezing is grad masking), so the
         # Adam moments carry over — the reference likewise only flips

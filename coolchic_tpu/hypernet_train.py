@@ -23,6 +23,11 @@ def main(argv=None) -> int:
     p.add_argument("--synthetic", action="store_true", help="use synthetic patches")
     p.add_argument("--workdir", type=Path, default=Path("hnet_workdir"))
     p.add_argument("--init_from", type=Path, default=None, help="NO checkpoint for delta init")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="continue from the latest samples_N.pkl in --workdir on the "
+        "global schedule clock (crash-robust segments on a flaky device)",
+    )
     p.add_argument("--n_samples", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lmbda", type=float, default=None)
@@ -111,10 +116,20 @@ def main(argv=None) -> int:
             double_backbone=dbl, **hn_kwargs,
         )
         state = net.init(key, patch)
-        if args.init_from is not None:
+        if args.init_from is not None and not args.resume:
             no_state = load_checkpoint(args.init_from)
             state = net.load_from_no_coolchic(no_state, state)
             print(f"initialized from NO checkpoint {args.init_from}")
+
+    samples_offset = 0
+    if args.resume:
+        from coolchic_tpu.hypernet.inference import load_checkpoint_meta
+
+        state, samples_offset = load_checkpoint_meta(Path(workdir))
+        print(f"resumed from {workdir} at {samples_offset} samples")
+        if samples_offset >= n_samples:
+            print("nothing left to train")
+            return 0
 
     if args.synthetic or args.data_dir is None:
         data = map(jnp.asarray, synthetic_batches(batch_size, patch, seed=args.seed))
@@ -163,6 +178,7 @@ def main(argv=None) -> int:
         checkpointing_freq_samples=args.checkpointing_freq,
         grad_accumulation_steps=args.grad_accum,
         mesh=mesh,
+        samples_offset=samples_offset,
     )
     cclog.finish()
     save_checkpoint(best, workdir / f"samples_{n_samples}.pkl", n_samples)

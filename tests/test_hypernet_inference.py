@@ -109,3 +109,41 @@ def test_hypernet_train_cli(tmp_path):
     )
     assert rc == 0
     assert (tmp_path / "samples_64.pkl").exists()
+
+
+def test_load_checkpoint_meta_sample_counter(tmp_path):
+    from coolchic_tpu.hypernet.inference import load_checkpoint_meta
+
+    net = NOWholeNet(CFG, n_hidden_channels=8)
+    state = net.init(jax.random.PRNGKey(0))
+    save_checkpoint(state, tmp_path / "samples_300.pkl", 300)
+    loaded, seen = load_checkpoint_meta(tmp_path)
+    assert seen == 300
+    for a, b in zip(jax.tree.leaves(state.decoder), jax.tree.leaves(loaded.decoder)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_hypernet_train_cli_resume(tmp_path):
+    """A crash-resumed run continues the global sample clock: segment one
+    trains to 32 samples, segment two resumes and finishes the 64-sample
+    target, writing the final samples_64.pkl."""
+    from coolchic_tpu.hypernet_train import main
+
+    base = [
+        "--synthetic",
+        "--mode", "no",
+        "--workdir", str(tmp_path),
+        "--batch_size", "4",
+        "--patch_size", "32",
+        "--checkpointing_freq", "16",
+    ]
+    assert main(base + ["--n_samples", "32"]) == 0
+    assert (tmp_path / "samples_32.pkl").exists()
+    assert main(base + ["--n_samples", "64", "--resume"]) == 0
+    assert (tmp_path / "samples_64.pkl").exists()
+    # resumed checkpoints continue past the first segment's counter
+    names = sorted(
+        int(p.stem.split("_")[1]) for p in tmp_path.glob("samples_*.pkl")
+    )
+    assert names[-1] == 64 and 48 in names, names
