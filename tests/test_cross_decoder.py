@@ -167,19 +167,21 @@ def test_reference_decoder_reads_hypernet_bitstream(ccdec, tmp_path):
 
 
 @pytest.mark.slow
-def test_reference_decoder_reads_flagship_config_bitstream(ccdec, tmp_path):
+@pytest.mark.parametrize("arch", [{}, {"dim_arm": 16}], ids=["arm24", "arm16"])
+def test_reference_decoder_reads_flagship_config_bitstream(ccdec, tmp_path, arch):
     """Encode direction at the FLAGSHIP operating point (dim_arm=24, 2
     hidden layers, 7 latent grids, 48-wide synthesis — the published-Kodak
-    architecture): our bitstream through the reference ccdec, bit-exact
-    vs our integer pipeline. Round 1 only exercised flagship in the decode
-    direction (published bitstreams)."""
+    architecture) and at the RD sweep's dim_arm=16 point (the reference's
+    dominant published config, 97/120 Kodak streams): our bitstream through
+    the reference ccdec, bit-exact vs our integer pipeline. Round 1 only
+    exercised flagship in the decode direction (published bitstreams)."""
     from coolchic_tpu.bitstream import decode_bitstream, encode_image_bitstream
     from coolchic_tpu.io import read_ppm
     from coolchic_tpu.models import CoolChicConfig, init_coolchic_params
     from coolchic_tpu.train import TrainerPhase, run_phase
     from coolchic_tpu.train.quantize_model import quantize_model_with_info
 
-    cfg = CoolChicConfig(img_size=(128, 160))  # flagship defaults
+    cfg = CoolChicConfig(img_size=(128, 160), **arch)  # flagship defaults
     y, x = jnp.meshgrid(
         jnp.linspace(0, 1, 128), jnp.linspace(0, 1, 160), indexing="ij"
     )
