@@ -717,7 +717,23 @@ def cmd_finalize(args) -> None:
             "(scripts/proxy_bias.py)."
         ),
     }
-    # canonical judge-visible location + per-budget archive
+    # canonical judge-visible location + per-budget archive; a partial
+    # higher-budget sweep cross-references any completed sibling budgets so
+    # the canonical file always shows the full picture.
+    for sib in sorted(WORKDIR.glob("bd_rate_*.json")):
+        sib_budget = sib.stem.replace("bd_rate_", "")
+        if sib_budget == args.budget:
+            continue
+        try:
+            s = json.loads(sib.read_text())
+        except Exception:
+            continue
+        summary.setdefault("other_budgets", {})[sib_budget] = {
+            "n_sequences": s.get("n_sequences"),
+            "bd_rate_vs_reference_pct_mean": s.get(
+                "bd_rate_vs_reference_pct_mean"
+            ),
+        }
     (WORKDIR / "bd_rate.json").write_text(json.dumps(summary, indent=2))
     (WORKDIR / f"bd_rate{suffix or '_fast'}.json").write_text(
         json.dumps(summary, indent=2)
