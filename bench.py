@@ -59,7 +59,7 @@ MAX_LAUNCHES = 3
 # state happens to be live. Probe first; if degraded, cool down and retry
 # (bounded); only then measure, reporting every probe attempt.
 GATE_TFLOPS = 100.0  # v5e bf16 peak ~197; >100 = healthy window
-GATE_ATTEMPTS = 6
+GATE_ATTEMPTS = 10  # degraded windows last hours; gate up to ~20 min
 GATE_COOLDOWN_S = 120
 
 
