@@ -189,11 +189,15 @@ def coolchic_forward(
     # extras), or the fused Pallas kernel (eval path behind the
     # COOLCHIC_PALLAS_EVAL flag: no [M, dim_arm] HBM context residual).
     flat_latent = jnp.concatenate([y.reshape(-1) for y in y_hat], axis=0)
-    use_pallas = (
-        not training
-        and valid_hw is None
-        and os.environ.get("COOLCHIC_PALLAS_EVAL", "0") == "1"
-    )
+    # Default ON for real TPU (A/B at flagship 512x768 dim_arm=24, same
+    # chip window: pallas 51 ms vs XLA 857 ms eval forward — see
+    # results/pallas_eval_ab.json); default OFF on CPU, where the kernel
+    # only runs interpreted (orders of magnitude slower than XLA-CPU).
+    # COOLCHIC_PALLAS_EVAL=0/1 forces either way.
+    pallas_flag = os.environ.get("COOLCHIC_PALLAS_EVAL", "")
+    if pallas_flag == "":
+        pallas_flag = "0" if jax.default_backend() == "cpu" else "1"
+    use_pallas = not training and valid_hw is None and pallas_flag == "1"
     if use_pallas:
         from coolchic_tpu.ops.pallas_arm import arm_rate_pallas_pyramid, pallas_fits
 

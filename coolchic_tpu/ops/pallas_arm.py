@@ -35,10 +35,17 @@ _PAD = (MASK_SIZE - 1) // 2  # 4
 # Scoped-VMEM budget for tile sizing. The Mosaic compiler keeps roughly
 # _TEMP_FACTOR * dim_arm live [tile_h, w_al] f32 rows per output row (the
 # x/y context-plane generations of the residual MLP plus slice copies);
-# measured 36.7 MB at tile_h=64, dim_arm=24, w_al=768 on this toolchain,
-# i.e. factor ~7.8. The slab input is VMEM-resident on top of that.
-_VMEM_LIMIT = 16 * 2**20
-_TEMP_FACTOR = 8
+# measured 36.7 MB at tile_h=64, dim_arm=24, w_al=768 on this toolchain
+# (factor ~7.8) but 17.8 MB at tile_h=40, dim_arm=24, w_al=512 (factor
+# ~8.7) — the factor is shape-dependent, so the budget keeps headroom.
+# Mosaic's default scoped limit is 16 MiB; we raise it via
+# CompilerParams(vmem_limit_bytes) and size tiles against a margin of it.
+# v5e has 128 MiB of VMEM per core; 48 MiB scoped leaves the pipelined
+# out tiles and slab plenty of room.
+_VMEM_REQUEST = 48 * 2**20
+_VMEM_LIMIT = int(_VMEM_REQUEST * 0.7)  # tile-sizing budget (margin for
+# the shape-dependent part of Mosaic's stack allocation)
+_TEMP_FACTOR = 10
 
 
 def _round_up(x: int, m: int) -> int:
@@ -174,6 +181,7 @@ def arm_rate_pallas(
         out_specs=pl.BlockSpec(
             (tile_h, w_al), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_REQUEST),
         interpret=interpret,
     )(slab, *w_args)
     return rate[:h, :w]
