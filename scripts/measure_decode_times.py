@@ -56,6 +56,8 @@ def build_our_decoder() -> Path:
 
 _OUR_RE = re.compile(
     r"nn (\S+) ms \| arm (\S+) ms \| ups\+syn (\S+) ms.*total (\S+) ms")
+# image mode also prints the ups/chain/spatial split: "(ups U syn S [c C s P])"
+_OUR_SPLIT_RE = re.compile(r"\(ups (\S+) syn \S+ \[c (\S+) s (\S+)\]\)")
 _REF_RE = re.compile(r"arm (\S+) ups (\S+) syn (\S+) .* all (\S+)")
 
 
@@ -65,8 +67,13 @@ def time_ours(exe: Path, bs: Path, out: Path) -> dict:
     assert r.returncode == 0, f"our decode failed: {bs.name}: {r.stderr[-200:]}"
     m = _OUR_RE.search(r.stderr)
     nn, arm, ups_syn, total = map(float, m.groups())
-    return {"nn": nn * 1e-3, "arm": arm * 1e-3, "ups_syn": ups_syn * 1e-3,
-            "total": total * 1e-3}
+    d = {"nn": nn * 1e-3, "arm": arm * 1e-3, "ups_syn": ups_syn * 1e-3,
+         "total": total * 1e-3}
+    ms = _OUR_SPLIT_RE.search(r.stderr)
+    if ms:
+        ups, chain, spatial = map(float, ms.groups())
+        d.update(ups=ups * 1e-3, chain=chain * 1e-3, spatial=spatial * 1e-3)
+    return d
 
 
 def time_ref(exe: Path, bs: Path, out: Path) -> dict:
@@ -112,6 +119,10 @@ def run_dataset(name: str, ours: Path, ref: Path | None, trials: int):
         "ours_arm_ms": sum(v[0]["arm"] for v in per_stream.values()) / n * 1e3,
         "ours_ups_syn_ms": sum(v[0]["ups_syn"] for v in per_stream.values()) / n * 1e3,
     }
+    if all("ups" in v[0] for v in per_stream.values()):
+        for k in ("ups", "chain", "spatial"):
+            summary[f"ours_{k}_ms"] = (
+                sum(v[0][k] for v in per_stream.values()) / n * 1e3)
     if ref is not None:
         summary.update(
             ref_total_ms=sum(v[1]["total"] for v in per_stream.values()) / n * 1e3,
@@ -178,6 +189,8 @@ def write_md(summaries: dict) -> None:
     detail = "\n".join(
         f"- {name}: ours arm {s['ours_arm_ms']:.1f} / ups+syn "
         f"{s['ours_ups_syn_ms']:.1f} ms"
+        + (f" (ups {s['ours_ups_ms']:.1f} + 1x1 chain {s['ours_chain_ms']:.1f}"
+           f" + 3x3 {s['ours_spatial_ms']:.1f})" if "ours_ups_ms" in s else "")
         + (f"; reference arm {s['ref_arm_ms']:.1f} / ups+syn "
            f"{s['ref_ups_syn_ms']:.1f} ms" if "ref_arm_ms" in s else "")
         for name, s in summaries.items())
