@@ -19,6 +19,7 @@
 
 #include <chrono>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <memory>
 #include <vector>
@@ -259,6 +260,555 @@ void ups_upsample(const Plane& in, const int32_t* kw_full, int ksx2,
   }
   }
 
+// ================== Row-streaming fused ups+syn pipeline ==================
+//
+// The plane-based path below round-trips every dense plane (n_res x
+// full-res) plus the chain outputs through memory; at 1080p+ that traffic
+// dominates decode time (the working set is tens of MB while the compute
+// is ~100 MACs/pixel). This path computes the whole upsample->synthesis
+// stack row by row through a pull pipeline of ring buffers: each stage
+// keeps only the last few rows its consumer can still reach, so the
+// working set stays in cache at any resolution (reference equivalent:
+// coolchic/cpp/synlb_avx2.hpp line-buffer synthesis — re-derived here as
+// a general pull pipeline covering the upsampling cascade too).
+//
+// Arithmetic is copied verbatim from the plane passes (identical
+// shr_to_zero points and accumulation order), so outputs are
+// bit-identical; the cross-decoder suites gate this.
+
+struct Ring {
+  int w = 0, cap = 0, hi = -1;
+  std::vector<int32_t> buf;
+  void init(int w_, int cap_) {
+    w = w_;
+    cap = cap_;
+    hi = -1;
+    buf.resize((size_t)w * cap);
+  }
+  int32_t* slot(int j) { return &buf[(size_t)(j % cap) * w]; }
+};
+
+struct RowProducer {
+  int h = 0, w = 0;  // logical output dims (w = ints per row incl. channels)
+  Ring ring;
+  virtual ~RowProducer() = default;
+  // Row y in [0, h). Look-back is bounded by ring.cap — guaranteed by the
+  // fixed kernel footprints of every consumer below.
+  const int32_t* row(int y) {
+    while (ring.hi < y) {
+      produce(ring.hi + 1, ring.slot(ring.hi + 1));
+      ring.hi++;
+    }
+    return ring.slot(y);
+  }
+
+ protected:
+  virtual void produce(int y, int32_t* dst) = 0;
+};
+
+inline int clampi_s(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// Latent grid rows, shifted to ARM fixed point on the fly.
+struct LatentRows : RowProducer {
+  const int32_t* lat = nullptr;
+  void init(const int32_t* l, int h_, int w_, int cap) {
+    lat = l;
+    h = h_;
+    w = w_;
+    ring.init(w_, cap);
+  }
+
+ protected:
+  void produce(int y, int32_t* dst) override {
+    const int32_t* s = lat + (size_t)y * w;
+    for (int x = 0; x < w; x++) dst[x] = s[x] << ARM_PRECISION;
+  }
+};
+
+// Streaming twin of ups_refine: odd symmetric conv + residual.
+struct RefineRows : RowProducer {
+  RowProducer* src = nullptr;
+  const int32_t* kw = nullptr;
+  int ks = 0, pad = 0, src_prec = ARM_PRECISION;
+  Ring tmp;  // horizontally-filtered rows (zero-pad columns)
+
+  void init(RowProducer* s, const int32_t* k, int ks_, int prec, int out_cap) {
+    src = s;
+    kw = k;
+    ks = ks_;
+    pad = ks_ / 2;
+    src_prec = prec;
+    h = s->h;
+    w = s->w;
+    ring.init(w, out_cap);
+    tmp.init(w, 2 * pad + 4);
+  }
+
+ protected:
+  const int32_t* trow(int j) {
+    while (tmp.hi < j) {
+      hpass(src->row(tmp.hi + 1), tmp.slot(tmp.hi + 1));
+      tmp.hi++;
+    }
+    return tmp.slot(j);
+  }
+  void hpass(const int32_t* s, int32_t* dst) {
+    constexpr int HXB = 64;
+    int32_t hacc[HXB];
+    int x = 0;
+    for (; x < pad && x < w; x++) {
+      int32_t sum = 0;
+      for (int k = 0; k < ks; k++) {
+        int sx = x - pad + k;
+        if (sx >= 0 && sx < w) sum += s[sx] * kw[k];
+      }
+      dst[x] = shr_to_zero(sum, src_prec);
+    }
+    const int x_end = w - pad;
+    for (int x0 = x; x0 < x_end; x0 += HXB) {
+      const int nb = x_end - x0 < HXB ? x_end - x0 : HXB;
+      for (int i = 0; i < nb; i++) hacc[i] = 0;
+      for (int k = 0; k < ks; k++) {
+        const int32_t wgt = kw[k];
+        const int32_t* sp = s + x0 - pad + k;
+        if (nb == HXB) {
+          for (int i = 0; i < HXB; i++) hacc[i] += sp[i] * wgt;
+        } else {
+          for (int i = 0; i < nb; i++) hacc[i] += sp[i] * wgt;
+        }
+      }
+      for (int i = 0; i < nb; i++) dst[x0 + i] = shr_to_zero(hacc[i], src_prec);
+    }
+    for (x = x_end > x ? x_end : x; x < w; x++) {
+      int32_t sum = 0;
+      for (int k = 0; k < ks; k++) {
+        int sx = x - pad + k;
+        if (sx >= 0 && sx < w) sum += s[sx] * kw[k];
+      }
+      dst[x] = shr_to_zero(sum, src_prec);
+    }
+  }
+  void produce(int y, int32_t* dst) override {
+    const int jmax = y + pad < h ? y + pad : h - 1;
+    if (jmax >= 0) trow(jmax);
+    const int32_t* trows[32];
+    for (int k = 0; k < ks; k++) {
+      const int sy = y - pad + k;
+      trows[k] = (sy >= 0 && sy < h) ? trow(sy) : nullptr;
+    }
+    const int32_t* res = src->row(y);
+    const int residue_shift = UPS_PRECISION - src_prec;
+    constexpr int XB = 64;
+    int32_t accb[XB];
+    for (int x0 = 0; x0 < w; x0 += XB) {
+      const int nb = w - x0 < XB ? w - x0 : XB;
+      for (int x = 0; x < nb; x++)
+        accb[x] = (res[x0 + x] << residue_shift) << UPS_PRECISION;
+      for (int k = 0; k < ks; k++) {
+        if (!trows[k]) continue;
+        const int32_t wgt = kw[k];
+        const int32_t* sp = trows[k] + x0;
+        if (nb == XB) {
+          for (int x = 0; x < XB; x++) accb[x] += sp[x] * wgt;
+        } else {
+          for (int x = 0; x < nb; x++) accb[x] += sp[x] * wgt;
+        }
+      }
+      for (int x = 0; x < nb; x++)
+        dst[x0 + x] = shr_to_zero(accb[x], UPS_PRECISION);
+    }
+  }
+};
+
+// Streaming twin of ups_upsample: even symmetric x2 transposed conv as two
+// polyphase filters, output cropped to (out_h, out_w).
+struct UpsampleRows : RowProducer {
+  RowProducer* src = nullptr;
+  int src_prec = UPS_PRECISION, ks = 0, pad = 0, h_in = 0, w_in = 0;
+  int32_t kw_e[16], kw_o[16];
+  Ring tmp;  // H-polyphase rows, width 2*w_in (replicate-pad columns)
+
+  void init(RowProducer* s, const int32_t* kw_full, int ksx2, int prec,
+            int out_h, int out_w, int out_cap) {
+    src = s;
+    h_in = s->h;
+    w_in = s->w;
+    src_prec = prec;
+    ks = ksx2 / 2;
+    pad = ks / 2;
+    for (int i = 0; i < ks; i++) {
+      kw_e[i] = kw_full[2 * i];
+      kw_o[i] = kw_full[2 * i + 1];
+    }
+    h = out_h;
+    w = out_w;
+    ring.init(out_w, out_cap);
+    tmp.init(2 * w_in, 2 * pad + 6);
+  }
+
+ protected:
+  const int32_t* trow(int j) {
+    while (tmp.hi < j) {
+      hpass(src->row(tmp.hi + 1), tmp.slot(tmp.hi + 1));
+      tmp.hi++;
+    }
+    return tmp.slot(j);
+  }
+  void hpass(const int32_t* s, int32_t* dst) {
+    constexpr int HXB = 32;
+    int32_t hacc_e[HXB], hacc_o[HXB];
+    const int xi0 = pad;
+    const int xi1 = w_in - ks + pad;  // exclusive
+    auto border = [&](int x) {
+      int32_t se = 0, so = 0;
+      for (int k = 0; k < ks; k++) {
+        se += s[clampi_s(x - pad + k, 0, w_in - 1)] * kw_e[k];
+        so += s[clampi_s(x - pad + k + 1, 0, w_in - 1)] * kw_o[k];
+      }
+      dst[2 * x] = shr_to_zero(se, src_prec);
+      dst[2 * x + 1] = shr_to_zero(so, src_prec);
+    };
+    int x = 0;
+    for (; x < xi0 && x < w_in; x++) border(x);
+    for (int x0 = x; x0 < xi1; x0 += HXB) {
+      const int nb = xi1 - x0 < HXB ? xi1 - x0 : HXB;
+      for (int i = 0; i < nb; i++) hacc_e[i] = 0;
+      for (int i = 0; i < nb; i++) hacc_o[i] = 0;
+      for (int k = 0; k < ks; k++) {
+        const int32_t we = kw_e[k], wo = kw_o[k];
+        const int32_t* se = s + x0 - pad + k;
+        const int32_t* so = se + 1;
+        if (nb == HXB) {
+          for (int i = 0; i < HXB; i++) hacc_e[i] += se[i] * we;
+          for (int i = 0; i < HXB; i++) hacc_o[i] += so[i] * wo;
+        } else {
+          for (int i = 0; i < nb; i++) hacc_e[i] += se[i] * we;
+          for (int i = 0; i < nb; i++) hacc_o[i] += so[i] * wo;
+        }
+      }
+      int32_t* d = dst + 2 * x0;
+      for (int i = 0; i < nb; i++) {
+        d[2 * i] = shr_to_zero(hacc_e[i], src_prec);
+        d[2 * i + 1] = shr_to_zero(hacc_o[i], src_prec);
+      }
+    }
+    for (x = xi1 > x ? xi1 : x; x < w_in; x++) border(x);
+  }
+  void produce(int r, int32_t* dst) override {
+    const int y = r >> 1, ph = r & 1;
+    const int jmax = clampi_s(y + ks - pad, 0, h_in - 1);
+    trow(jmax);
+    const int32_t* rows[16];
+    for (int k = 0; k < ks; k++)
+      rows[k] = trow(clampi_s(y - pad + k + ph, 0, h_in - 1));
+    const int32_t* kw = ph ? kw_o : kw_e;
+    constexpr int XB = 64;
+    int32_t accb[XB];
+    for (int x0 = 0; x0 < w; x0 += XB) {
+      const int nb = w - x0 < XB ? w - x0 : XB;
+      for (int x = 0; x < nb; x++) accb[x] = 0;
+      for (int k = 0; k < ks; k++) {
+        const int32_t wgt = kw[k];
+        const int32_t* sp = rows[k] + x0;
+        if (nb == XB) {
+          for (int x = 0; x < XB; x++) accb[x] += sp[x] * wgt;
+        } else {
+          for (int x = 0; x < nb; x++) accb[x] += sp[x] * wgt;
+        }
+      }
+      for (int x = 0; x < nb; x++)
+        dst[x0 + x] = shr_to_zero(accb[x], UPS_PRECISION);
+    }
+  }
+};
+
+// Fused 1x1 chain over the dense rows: channel-major [co][W] output rows.
+struct ChainRows : RowProducer {
+  std::vector<RowProducer*> dense;
+  std::vector<const int32_t*> cw, cb;
+  std::vector<int> couts, cins;
+  std::vector<int> res_flags, relu_flags;
+  int W_ = 0, n_layers = 0, co_final = 0;
+  std::vector<int32_t> buf_a, buf_b;
+
+  void init(std::vector<RowProducer*> d, const int32_t*& wp, const int32_t*& bp,
+            const int32_t* syn_desc, int chain_end, int W, int out_cap) {
+    dense = std::move(d);
+    W_ = W;
+    n_layers = chain_end;
+    int ci = (int)dense.size();
+    int max_ft = ci;
+    for (int l = 0; l < chain_end; l++) {
+      const int co = syn_desc[4 * l + 0];
+      cw.push_back(wp);
+      cb.push_back(bp);
+      cins.push_back(ci);
+      couts.push_back(co);
+      res_flags.push_back(syn_desc[4 * l + 2]);
+      relu_flags.push_back(syn_desc[4 * l + 3]);
+      wp += (size_t)co * ci;
+      bp += co;
+      ci = co;
+      if (co > max_ft) max_ft = co;
+    }
+    co_final = ci;
+    h = dense[0]->h;
+    w = co_final * W;
+    ring.init(w, out_cap);
+    buf_a.resize((size_t)max_ft * W);
+    buf_b.resize((size_t)max_ft * W);
+  }
+
+ protected:
+  void produce(int y, int32_t* out_row) override {
+    const int n_in = (int)dense.size();
+    const int32_t* srcp[64];
+    int32_t* dstp[64];
+    int32_t* lbuf_in = buf_a.data();
+    int32_t* lbuf_out = buf_b.data();
+    for (int i = 0; i < n_in; i++) srcp[i] = dense[i]->row(y);
+    for (int l = 0; l < n_layers; l++) {
+      const bool residual = res_flags[l] != 0;
+      const bool relu = relu_flags[l] != 0;
+      const int ci = cins[l], co = couts[l];
+      if (l > 0)
+        for (int i = 0; i < ci; i++) srcp[i] = lbuf_in + (size_t)i * W_;
+      for (int o = 0; o < co; o++)
+        dstp[o] = l == n_layers - 1 ? out_row + (size_t)o * W_
+                                    : lbuf_out + (size_t)o * W_;
+      constexpr int XB = 64;
+      int32_t accb[XB];
+      for (int x0 = 0; x0 < W_; x0 += XB) {
+        const int nb = W_ - x0 < XB ? W_ - x0 : XB;
+        for (int o = 0; o < co; o++) {
+          const int32_t bias = cb[l][o];
+          const int32_t* krow = cw[l] + (size_t)o * ci;
+          for (int x = 0; x < nb; x++) accb[x] = bias;
+          if (residual) {
+            const int32_t* r = srcp[o] + x0;
+            for (int x = 0; x < nb; x++) accb[x] += r[x] << SYN_MUL_PRECISION;
+          }
+          for (int i = 0; i < ci; i++) {
+            const int32_t wgt = krow[i];
+            if (wgt == 0) continue;
+            const int32_t* s = srcp[i] + x0;
+            if (nb == XB) {
+              for (int x = 0; x < XB; x++) accb[x] += s[x] * wgt;
+            } else {
+              for (int x = 0; x < nb; x++) accb[x] += s[x] * wgt;
+            }
+          }
+          int32_t* dst = dstp[o] + x0;
+          for (int x = 0; x < nb; x++) {
+            int32_t sum = accb[x];
+            if (sum < 0)
+              dst[x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
+            else
+              dst[x] = sum >> SYN_MUL_PRECISION;
+          }
+        }
+      }
+      std::swap(lbuf_in, lbuf_out);
+    }
+  }
+};
+
+// One spatial (odd-ks) synthesis layer over a multi-channel producer.
+struct SpatialRows : RowProducer {
+  RowProducer* src = nullptr;
+  int n_in = 0, co = 0, ks = 0, pad = 0, W_ = 0;
+  bool residual = false, relu = false;
+  const int32_t* wts = nullptr;
+  const int32_t* bias = nullptr;
+
+  void init(RowProducer* s, int n_in_, int W, const int32_t*& wp,
+            const int32_t*& bp, const int32_t* desc, int out_cap) {
+    src = s;
+    n_in = n_in_;
+    W_ = W;
+    co = desc[0];
+    ks = desc[1];
+    residual = desc[2] != 0;
+    relu = desc[3] != 0;
+    pad = (ks - 1) / 2;
+    wts = wp;
+    bias = bp;
+    wp += (size_t)co * n_in * ks * ks;
+    bp += co;
+    h = s->h;
+    w = co * W;
+    ring.init(w, out_cap);
+  }
+
+ protected:
+  void produce(int y, int32_t* out_row) override {
+    const int jmax = y + pad < h ? y + pad : h - 1;
+    src->row(jmax);
+    const int32_t* srows[64 * 9];
+    for (int yy = 0; yy < ks; yy++) {
+      const int sy = clampi_s(y + yy - pad, 0, h - 1);
+      const int32_t* block = src->row(sy);
+      for (int i = 0; i < n_in; i++)
+        srows[i * ks + yy] = block + (size_t)i * W_;
+    }
+    const int32_t* resrow = residual ? src->row(y) : nullptr;
+    auto clampx = [&](int x) { return x < 0 ? 0 : (x >= W_ ? W_ - 1 : x); };
+    constexpr int XB = 64;
+    int32_t accb[XB];
+    for (int o = 0; o < co; o++) {
+      const int32_t* kbase = wts + (size_t)o * n_in * ks * ks;
+      const int32_t b = bias[o];
+      const int32_t* rres = residual ? resrow + (size_t)o * W_ : nullptr;
+      int32_t* dst = out_row + (size_t)o * W_;
+      auto border_px = [&](int x) {
+        int32_t sum = b;
+        if (rres) sum += rres[x] << SYN_MUL_PRECISION;
+        const int32_t* k = kbase;
+        for (int i = 0; i < n_in; i++)
+          for (int yy = 0; yy < ks; yy++) {
+            const int32_t* sp = srows[i * ks + yy];
+            for (int xx = 0; xx < ks; xx++)
+              sum += sp[clampx(x + xx - pad)] * *k++;
+          }
+        if (sum < 0)
+          dst[x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
+        else
+          dst[x] = sum >> SYN_MUL_PRECISION;
+      };
+      for (int x = 0; x < pad && x < W_; x++) border_px(x);
+      const int xi1 = W_ - pad;
+      for (int x0 = pad; x0 < xi1; x0 += XB) {
+        const int nb = xi1 - x0 < XB ? xi1 - x0 : XB;
+        for (int x = 0; x < nb; x++) accb[x] = b;
+        if (rres)
+          for (int x = 0; x < nb; x++)
+            accb[x] += rres[x0 + x] << SYN_MUL_PRECISION;
+        const int32_t* k = kbase;
+        for (int i = 0; i < n_in; i++) {
+          for (int yy = 0; yy < ks; yy++) {
+            const int32_t* srow = srows[i * ks + yy] + x0 - pad;
+            for (int xx = 0; xx < ks; xx++) {
+              const int32_t wgt = *k++;
+              if (wgt == 0) continue;
+              const int32_t* s = srow + xx;
+              if (nb == XB) {
+                for (int x = 0; x < XB; x++) accb[x] += s[x] * wgt;
+              } else {
+                for (int x = 0; x < nb; x++) accb[x] += s[x] * wgt;
+              }
+            }
+          }
+        }
+        for (int x = 0; x < nb; x++) {
+          int32_t sum = accb[x];
+          if (sum < 0)
+            dst[x0 + x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
+          else
+            dst[x0 + x] = sum >> SYN_MUL_PRECISION;
+        }
+      }
+      for (int x = xi1 > pad ? xi1 : pad; x < W_; x++) border_px(x);
+    }
+  }
+};
+
+// Build the pipeline and stream the frame. Returns false when the layer
+// pattern falls outside what the pipeline handles (caller falls back to
+// the plane path).
+bool ups_syn_stream(const int32_t* latents, const int32_t* heights,
+                    const int32_t* widths, int n_res, int ups_k_size,
+                    int pre_k_size, const int32_t* ups_kernels,
+                    const int32_t* pre_kernels, const int32_t* syn_w,
+                    const int32_t* syn_b, const int32_t* syn_desc,
+                    int n_syn_layers, int32_t* out) {
+  const int H = heights[0], W = widths[0];
+  // Applicability: a leading run of 1x1 layers (>=1; mixes the n_res
+  // channels) followed only by odd-ks spatial layers; bounded kernels.
+  int chain_end = 0;
+  while (chain_end < n_syn_layers && syn_desc[4 * chain_end + 1] == 1)
+    chain_end++;
+  if (chain_end < 1 || n_res < 2 || n_res > 16) return false;
+  for (int l = 0; l < chain_end; l++)
+    if (syn_desc[4 * l + 0] > 64) return false;  // srcp/dstp bounds
+  for (int l = chain_end; l < n_syn_layers; l++) {
+    const int ks = syn_desc[4 * l + 1];
+    if (ks < 3 || ks > 9 || ks % 2 == 0) return false;
+    if (syn_desc[4 * l + 0] > 64) return false;
+  }
+  if (ups_k_size / 2 > 16 || pre_k_size > 31 || pre_k_size % 2 == 0)
+    return false;
+
+  // Per-layer cascades: latent -> [refine] -> upsample chain to full res.
+  std::vector<std::unique_ptr<RowProducer>> stages;
+  std::vector<RowProducer*> dense(n_res);
+  const int32_t* lat_ptr = latents;
+  const int lat_cap = 2 * (pre_k_size / 2) + 6;
+  for (int layer = 0; layer < n_res; layer++) {
+    const int hL = heights[layer], wL = widths[layer];
+    auto lr = std::make_unique<LatentRows>();
+    lr->init(lat_ptr, hL, wL, lat_cap);
+    lat_ptr += (size_t)hL * wL;
+    RowProducer* cur = lr.get();
+    stages.push_back(std::move(lr));
+
+    int src_prec = ARM_PRECISION;
+    if (layer == 0 || layer != n_res - 1) {
+      const int32_t* kw =
+          pre_kernels + ((n_res - 2 - layer) % (n_res - 1)) * pre_k_size;
+      auto rf = std::make_unique<RefineRows>();
+      rf->init(cur, kw, pre_k_size, ARM_PRECISION, 8);
+      cur = rf.get();
+      stages.push_back(std::move(rf));
+      src_prec = UPS_PRECISION;
+      if (layer == 0) {
+        dense[0] = cur;
+        continue;
+      }
+    } else {
+      src_prec = ARM_PRECISION;  // coarsest layer: no refine
+    }
+    for (int target = layer - 1; target >= 0; target--) {
+      const int32_t* kw =
+          ups_kernels + ((n_res - 2 - target) % (n_res - 1)) * ups_k_size;
+      auto up = std::make_unique<UpsampleRows>();
+      up->init(cur, kw, ups_k_size, src_prec, heights[target], widths[target],
+               8);
+      cur = up.get();
+      stages.push_back(std::move(up));
+      src_prec = UPS_PRECISION;
+    }
+    dense[layer] = cur;
+  }
+
+  const int32_t* wp = syn_w;
+  const int32_t* bp = syn_b;
+  auto chain = std::make_unique<ChainRows>();
+  // Chain ring must cover the first spatial layer's look-back (ks rows).
+  int next_ks = chain_end < n_syn_layers ? syn_desc[4 * chain_end + 1] : 1;
+  chain->init(dense, wp, bp, syn_desc, chain_end, W, next_ks + 3);
+  RowProducer* top = chain.get();
+  int n_in = chain->co_final;
+  stages.push_back(std::move(chain));
+  for (int l = chain_end; l < n_syn_layers; l++) {
+    next_ks = l + 1 < n_syn_layers ? syn_desc[4 * (l + 1) + 1] : 1;
+    auto sp = std::make_unique<SpatialRows>();
+    sp->init(top, n_in, W, wp, bp, syn_desc + 4 * l, next_ks + 3);
+    n_in = sp->co;
+    top = sp.get();
+    stages.push_back(std::move(sp));
+  }
+
+  for (int y = 0; y < H; y++) {
+    const int32_t* r = top->row(y);
+    for (int o = 0; o < n_in; o++)
+      std::memcpy(out + ((size_t)o * H + y) * W, r + (size_t)o * W,
+                  (size_t)W * sizeof(int32_t));
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -284,6 +834,26 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
                      int n_syn_layers, int32_t* out) {
   int H = heights[0], W = widths[0];
   const auto t_ups0 = std::chrono::steady_clock::now();
+
+  // ---- Row-streaming fused path (cache-resident; see ups_syn_stream).
+  // CCZ_NO_STREAM=1 forces the plane path (A/B and debugging).
+  static const bool no_stream = [] {
+    const char* e = getenv("CCZ_NO_STREAM");
+    return e && e[0] == '1';
+  }();
+  if (!no_stream &&
+      ups_syn_stream(latents, heights, widths, n_res, ups_k_size, pre_k_size,
+                     ups_kernels, pre_kernels, syn_w, syn_b, syn_desc,
+                     n_syn_layers, out)) {
+    const double dt = std::chrono::duration<double>(
+                          std::chrono::steady_clock::now() - t_ups0)
+                          .count();
+    // Stages are interleaved in the stream: report the whole cost as
+    // fused syn, ups/chain/spatial splits zero.
+    g_stage_secs[0] = g_stage_secs[2] = g_stage_secs[3] = 0.0;
+    g_stage_secs[1] = dt;
+    return;
+  }
 
   // ---- Upsampling: each layer independently to full resolution. Scratch
   // planes (pass intermediate + cascade ping/pong) are allocated once at
