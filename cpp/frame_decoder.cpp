@@ -454,7 +454,7 @@ int ccz_decode_video(const uint8_t* data, int len, int32_t* out_frames,
   std::vector<std::vector<int32_t>> stored(n_frames);  // by display idx
   size_t ptr = gop.n_bytes_header;
   StageTimes times;
-  std::vector<int32_t> raw12, f444(3 * ps);
+  std::vector<int32_t> raw12, f444(3 * ps), store_lut;
   for (int coding_idx = 0; coding_idx < n_frames; coding_idx++) {
     FrameHeader fh;
     int c_out = decode_frame_payload(data, len, ptr, gop, fh, raw12, times);
@@ -488,14 +488,25 @@ int ccz_decode_video(const uint8_t* data, int len, int32_t* out_frames,
     if (gop.frame_data_type == 1) {  // yuv420: chroma = expanded subsamples
       for (int c = 1; c < 3; c++) {
         int32_t* p = out + c * ps;
-        for (int y = 0; y < h; y++)
-          for (int x = 0; x < w; x++)
-            p[(size_t)y * w + x] = p[(size_t)(y & ~1) * w + (x & ~1)];
+        for (int y = 0; y < h; y += 2) {
+          int32_t* row = p + (size_t)y * w;
+          for (int x = 1; x < w; x += 2) row[x] = row[x - 1];
+          if (y + 1 < h) std::memcpy(row + w, row, (size_t)w * sizeof(int32_t));
+        }
       }
     }
-    stored[disp].resize(3 * ps);
-    for (size_t i = 0; i < 3 * ps; i++)
-      stored[disp][i] = (int32_t)(((int64_t)out[i] << PREC) / max_dyn);
+    // Reference storage round-trip — only when a later frame can read it
+    // (single-frame streams skip ~3*ps integer divisions). The division
+    // (v << PREC) / max_dyn is exact via a small LUT over [0, max_dyn].
+    if (n_frames > 1) {
+      if (store_lut.empty()) {
+        store_lut.resize((size_t)max_dyn + 1);
+        for (int64_t v = 0; v <= max_dyn; v++)
+          store_lut[v] = (int32_t)((v << PREC) / max_dyn);
+      }
+      stored[disp].resize(3 * ps);
+      for (size_t i = 0; i < 3 * ps; i++) stored[disp][i] = store_lut[out[i]];
+    }
   }
   if (timings) {
     timings[0] = times.nn;

@@ -758,7 +758,10 @@ bool ups_syn_stream(const int32_t* latents, const int32_t* heights,
       const int32_t* kw =
           pre_kernels + ((n_res - 2 - layer) % (n_res - 1)) * pre_k_size;
       auto rf = std::make_unique<RefineRows>();
-      rf->init(cur, kw, pre_k_size, ARM_PRECISION, 8);
+      // Cascade consumers (upsample hpass / chain) read rows strictly
+      // sequentially, so a 3-row ring suffices — keeps the working set
+      // cache-resident at 1080p+ widths.
+      rf->init(cur, kw, pre_k_size, ARM_PRECISION, 3);
       cur = rf.get();
       stages.push_back(std::move(rf));
       src_prec = UPS_PRECISION;
@@ -774,7 +777,7 @@ bool ups_syn_stream(const int32_t* latents, const int32_t* heights,
           ups_kernels + ((n_res - 2 - target) % (n_res - 1)) * ups_k_size;
       auto up = std::make_unique<UpsampleRows>();
       up->init(cur, kw, ups_k_size, src_prec, heights[target], widths[target],
-               8);
+               3);
       cur = up.get();
       stages.push_back(std::move(up));
       src_prec = UPS_PRECISION;
