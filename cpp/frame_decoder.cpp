@@ -27,12 +27,11 @@ extern "C" void ccz_decode_arm_latent_layer(
     const uint8_t* data, int len, const int32_t* weights, const int32_t* biases,
     int dim_arm, int n_hidden, const int32_t* ctx_dy, const int32_t* ctx_dx,
     int h, int w, int blk, int32_t* out);
-extern "C" void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
-                                const int32_t* widths, int n_res, int ups_k_size,
-                                int pre_k_size, const int32_t* ups_kernels,
-                                const int32_t* pre_kernels, const int32_t* syn_w,
-                                const int32_t* syn_b, const int32_t* syn_desc,
-                                int n_syn_layers, int32_t* out);
+extern "C" void ccz_ups_syn_int_flags(
+    const int32_t* latents, const int32_t* heights, const int32_t* widths,
+    int n_res, int ups_k_size, int pre_k_size, const int32_t* ups_kernels,
+    const int32_t* pre_kernels, const int32_t* syn_w, const int32_t* syn_b,
+    const int32_t* syn_desc, int n_syn_layers, int flags, int32_t* out);
 
 namespace {
 
@@ -190,7 +189,8 @@ double secs_since(clk::time_point t0) {
 // caller via warp/bpred on the decoded residue, ccz_warp / ccz_bpred).
 int decode_frame_payload(const uint8_t* data, size_t len, size_t& ptr,
                          const GopHeader& gop, FrameHeader& fh,
-                         std::vector<int32_t>& out, StageTimes& times) {
+                         std::vector<int32_t>& out, StageTimes& times,
+                         bool chroma420_skip = false) {
   Reader r{data + ptr, data + len};
   if (!read_frame_header(r, fh)) return -2;
   ptr += fh.n_bytes_header;
@@ -317,10 +317,15 @@ int decode_frame_payload(const uint8_t* data, size_t len, size_t& ptr,
   int32_t desc_flat[MAX_SYN_LAYERS * 4];
   for (int l = 0; l < fh.n_syn_layers; l++)
     for (int k = 0; k < 4; k++) desc_flat[l * 4 + k] = fh.syn_desc[l][k];
-  ccz_ups_syn_int(latents.data(), heights.data(), widths.data(),
-                  fh.latent_n_grids, fh.ups_k_size, fh.ups_preconcat_k_size,
-                  ups_k.data(), pre_k.data(), syn_w.data(), syn_b.data(),
-                  desc_flat, fh.n_syn_layers, out.data());
+  // yuv420 3-channel output: odd-row chroma is overwritten by the 4:2:0
+  // expansion below, so the synthesis may skip it (flags bit 0).
+  const int flags =
+      (chroma420_skip && gop.frame_data_type == 1 && c_out == 3) ? 1 : 0;
+  ccz_ups_syn_int_flags(latents.data(), heights.data(), widths.data(),
+                        fh.latent_n_grids, fh.ups_k_size,
+                        fh.ups_preconcat_k_size, ups_k.data(), pre_k.data(),
+                        syn_w.data(), syn_b.data(), desc_flat, fh.n_syn_layers,
+                        flags, out.data());
   times.ups_syn += secs_since(t0);
   return c_out;
 }
@@ -457,7 +462,8 @@ int ccz_decode_video(const uint8_t* data, int len, int32_t* out_frames,
   std::vector<int32_t> raw12, f444(3 * ps), store_lut;
   for (int coding_idx = 0; coding_idx < n_frames; coding_idx++) {
     FrameHeader fh;
-    int c_out = decode_frame_payload(data, len, ptr, gop, fh, raw12, times);
+    int c_out =
+        decode_frame_payload(data, len, ptr, gop, fh, raw12, times, true);
     if (c_out < 0) return c_out;
     const int disp = fh.display_index;
     if (disp < 0 || disp >= n_frames) return -6;

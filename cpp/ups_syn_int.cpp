@@ -19,6 +19,7 @@
 
 #include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <memory>
@@ -288,13 +289,50 @@ struct Ring {
   int32_t* slot(int j) { return &buf[(size_t)(j % cap) * w]; }
 };
 
+// CCZ_STREAM_PROF=1: per-stage-type EXCLUSIVE time of the pull pipeline,
+// printed to stderr after each frame (off the hot path unless enabled).
+inline bool stream_prof_enabled() {
+  static const bool on = [] {
+    const char* e = getenv("CCZ_STREAM_PROF");
+    return e && e[0] == '1';
+  }();
+  return on;
+}
+inline std::vector<double>& prof_stack() {
+  static std::vector<double> s;
+  return s;
+}
+inline double* prof_bins() {
+  static double bins[8];  // indexed by RowProducer::tag
+  return bins;
+}
+const char* const PROF_TAGS[] = {"latent", "refine", "upsample", "chain",
+                                 "spatial"};
+
 struct RowProducer {
   int h = 0, w = 0;  // logical output dims (w = ints per row incl. channels)
+  int tag = 0;       // PROF_TAGS index
   Ring ring;
   virtual ~RowProducer() = default;
   // Row y in [0, h). Look-back is bounded by ring.cap — guaranteed by the
   // fixed kernel footprints of every consumer below.
   const int32_t* row(int y) {
+    if (stream_prof_enabled()) {
+      while (ring.hi < y) {
+        const auto t0 = std::chrono::steady_clock::now();
+        prof_stack().push_back(0.0);
+        produce(ring.hi + 1, ring.slot(ring.hi + 1));
+        ring.hi++;
+        const double total =
+            std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+                .count();
+        const double child = prof_stack().back();
+        prof_stack().pop_back();
+        prof_bins()[tag] += total - child;
+        if (!prof_stack().empty()) prof_stack().back() += total;
+      }
+      return ring.slot(y);
+    }
     while (ring.hi < y) {
       produce(ring.hi + 1, ring.slot(ring.hi + 1));
       ring.hi++;
@@ -314,6 +352,7 @@ inline int clampi_s(int v, int lo, int hi) {
 struct LatentRows : RowProducer {
   const int32_t* lat = nullptr;
   void init(const int32_t* l, int h_, int w_, int cap) {
+    tag = 0;
     lat = l;
     h = h_;
     w = w_;
@@ -335,6 +374,7 @@ struct RefineRows : RowProducer {
   Ring tmp;  // horizontally-filtered rows (zero-pad columns)
 
   void init(RowProducer* s, const int32_t* k, int ks_, int prec, int out_cap) {
+    tag = 1;
     src = s;
     kw = k;
     ks = ks_;
@@ -356,39 +396,37 @@ struct RefineRows : RowProducer {
   }
   void hpass(const int32_t* s, int32_t* dst) {
     constexpr int HXB = 64;
-    int32_t hacc[HXB];
-    int x = 0;
-    for (; x < pad && x < w; x++) {
+    auto edge = [&](int x) {
       int32_t sum = 0;
       for (int k = 0; k < ks; k++) {
         int sx = x - pad + k;
         if (sx >= 0 && sx < w) sum += s[sx] * kw[k];
       }
       dst[x] = shr_to_zero(sum, src_prec);
-    }
+    };
+    int x = 0;
+    for (; x < pad && x < w; x++) edge(x);
     const int x_end = w - pad;
-    for (int x0 = x; x0 < x_end; x0 += HXB) {
-      const int nb = x_end - x0 < HXB ? x_end - x0 : HXB;
-      for (int i = 0; i < nb; i++) hacc[i] = 0;
+    auto block = [&](int x0) {
+      int32_t hacc[HXB];
+      for (int i = 0; i < HXB; i++) hacc[i] = 0;
       for (int k = 0; k < ks; k++) {
         const int32_t wgt = kw[k];
         const int32_t* sp = s + x0 - pad + k;
-        if (nb == HXB) {
-          for (int i = 0; i < HXB; i++) hacc[i] += sp[i] * wgt;
-        } else {
-          for (int i = 0; i < nb; i++) hacc[i] += sp[i] * wgt;
-        }
+        for (int i = 0; i < HXB; i++) hacc[i] += sp[i] * wgt;
       }
-      for (int i = 0; i < nb; i++) dst[x0 + i] = shr_to_zero(hacc[i], src_prec);
+      for (int i = 0; i < HXB; i++)
+        dst[x0 + i] = shr_to_zero(hacc[i], src_prec);
+    };
+    if (x_end - x >= HXB) {
+      int x0 = x;
+      for (; x0 + HXB <= x_end; x0 += HXB) block(x0);
+      if (x0 < x_end) block(x_end - HXB);
+      x = x_end;
+    } else {
+      for (; x < x_end; x++) edge(x);
     }
-    for (x = x_end > x ? x_end : x; x < w; x++) {
-      int32_t sum = 0;
-      for (int k = 0; k < ks; k++) {
-        int sx = x - pad + k;
-        if (sx >= 0 && sx < w) sum += s[sx] * kw[k];
-      }
-      dst[x] = shr_to_zero(sum, src_prec);
-    }
+    for (x = x_end > x ? x_end : x; x < w; x++) edge(x);
   }
   void produce(int y, int32_t* dst) override {
     const int jmax = y + pad < h ? y + pad : h - 1;
@@ -401,23 +439,30 @@ struct RefineRows : RowProducer {
     const int32_t* res = src->row(y);
     const int residue_shift = UPS_PRECISION - src_prec;
     constexpr int XB = 64;
-    int32_t accb[XB];
-    for (int x0 = 0; x0 < w; x0 += XB) {
-      const int nb = w - x0 < XB ? w - x0 : XB;
-      for (int x = 0; x < nb; x++)
+    auto block = [&](int x0) {
+      int32_t accb[XB];
+      for (int x = 0; x < XB; x++)
         accb[x] = (res[x0 + x] << residue_shift) << UPS_PRECISION;
       for (int k = 0; k < ks; k++) {
         if (!trows[k]) continue;
         const int32_t wgt = kw[k];
         const int32_t* sp = trows[k] + x0;
-        if (nb == XB) {
-          for (int x = 0; x < XB; x++) accb[x] += sp[x] * wgt;
-        } else {
-          for (int x = 0; x < nb; x++) accb[x] += sp[x] * wgt;
-        }
+        for (int x = 0; x < XB; x++) accb[x] += sp[x] * wgt;
       }
-      for (int x = 0; x < nb; x++)
+      for (int x = 0; x < XB; x++)
         dst[x0 + x] = shr_to_zero(accb[x], UPS_PRECISION);
+    };
+    if (w >= XB) {
+      int x0 = 0;
+      for (; x0 + XB <= w; x0 += XB) block(x0);
+      if (x0 < w) block(w - XB);
+    } else {
+      for (int x = 0; x < w; x++) {
+        int32_t sum = (res[x] << residue_shift) << UPS_PRECISION;
+        for (int k = 0; k < ks; k++)
+          if (trows[k]) sum += trows[k][x] * kw[k];
+        dst[x] = shr_to_zero(sum, UPS_PRECISION);
+      }
     }
   }
 };
@@ -432,6 +477,7 @@ struct UpsampleRows : RowProducer {
 
   void init(RowProducer* s, const int32_t* kw_full, int ksx2, int prec,
             int out_h, int out_w, int out_cap) {
+    tag = 2;
     src = s;
     h_in = s->h;
     w_in = s->w;
@@ -458,7 +504,6 @@ struct UpsampleRows : RowProducer {
   }
   void hpass(const int32_t* s, int32_t* dst) {
     constexpr int HXB = 32;
-    int32_t hacc_e[HXB], hacc_o[HXB];
     const int xi0 = pad;
     const int xi1 = w_in - ks + pad;  // exclusive
     auto border = [&](int x) {
@@ -472,27 +517,30 @@ struct UpsampleRows : RowProducer {
     };
     int x = 0;
     for (; x < xi0 && x < w_in; x++) border(x);
-    for (int x0 = x; x0 < xi1; x0 += HXB) {
-      const int nb = xi1 - x0 < HXB ? xi1 - x0 : HXB;
-      for (int i = 0; i < nb; i++) hacc_e[i] = 0;
-      for (int i = 0; i < nb; i++) hacc_o[i] = 0;
+    auto block = [&](int x0) {
+      int32_t hacc_e[HXB], hacc_o[HXB];
+      for (int i = 0; i < HXB; i++) hacc_e[i] = 0;
+      for (int i = 0; i < HXB; i++) hacc_o[i] = 0;
       for (int k = 0; k < ks; k++) {
         const int32_t we = kw_e[k], wo = kw_o[k];
         const int32_t* se = s + x0 - pad + k;
         const int32_t* so = se + 1;
-        if (nb == HXB) {
-          for (int i = 0; i < HXB; i++) hacc_e[i] += se[i] * we;
-          for (int i = 0; i < HXB; i++) hacc_o[i] += so[i] * wo;
-        } else {
-          for (int i = 0; i < nb; i++) hacc_e[i] += se[i] * we;
-          for (int i = 0; i < nb; i++) hacc_o[i] += so[i] * wo;
-        }
+        for (int i = 0; i < HXB; i++) hacc_e[i] += se[i] * we;
+        for (int i = 0; i < HXB; i++) hacc_o[i] += so[i] * wo;
       }
       int32_t* d = dst + 2 * x0;
-      for (int i = 0; i < nb; i++) {
+      for (int i = 0; i < HXB; i++) {
         d[2 * i] = shr_to_zero(hacc_e[i], src_prec);
         d[2 * i + 1] = shr_to_zero(hacc_o[i], src_prec);
       }
+    };
+    if (xi1 - x >= HXB) {
+      int x0 = x;
+      for (; x0 + HXB <= xi1; x0 += HXB) block(x0);
+      if (x0 < xi1) block(xi1 - HXB);
+      x = xi1;
+    } else {
+      for (; x < xi1; x++) border(x);
     }
     for (x = xi1 > x ? xi1 : x; x < w_in; x++) border(x);
   }
@@ -505,21 +553,27 @@ struct UpsampleRows : RowProducer {
       rows[k] = trow(clampi_s(y - pad + k + ph, 0, h_in - 1));
     const int32_t* kw = ph ? kw_o : kw_e;
     constexpr int XB = 64;
-    int32_t accb[XB];
-    for (int x0 = 0; x0 < w; x0 += XB) {
-      const int nb = w - x0 < XB ? w - x0 : XB;
-      for (int x = 0; x < nb; x++) accb[x] = 0;
+    auto block = [&](int x0) {
+      int32_t accb[XB];
+      for (int x = 0; x < XB; x++) accb[x] = 0;
       for (int k = 0; k < ks; k++) {
         const int32_t wgt = kw[k];
         const int32_t* sp = rows[k] + x0;
-        if (nb == XB) {
-          for (int x = 0; x < XB; x++) accb[x] += sp[x] * wgt;
-        } else {
-          for (int x = 0; x < nb; x++) accb[x] += sp[x] * wgt;
-        }
+        for (int x = 0; x < XB; x++) accb[x] += sp[x] * wgt;
       }
-      for (int x = 0; x < nb; x++)
+      for (int x = 0; x < XB; x++)
         dst[x0 + x] = shr_to_zero(accb[x], UPS_PRECISION);
+    };
+    if (w >= XB) {
+      int x0 = 0;
+      for (; x0 + XB <= w; x0 += XB) block(x0);
+      if (x0 < w) block(w - XB);
+    } else {
+      for (int x = 0; x < w; x++) {
+        int32_t sum = 0;
+        for (int k = 0; k < ks; k++) sum += rows[k][x] * kw[k];
+        dst[x] = shr_to_zero(sum, UPS_PRECISION);
+      }
     }
   }
 };
@@ -535,6 +589,7 @@ struct ChainRows : RowProducer {
 
   void init(std::vector<RowProducer*> d, const int32_t*& wp, const int32_t*& bp,
             const int32_t* syn_desc, int chain_end, int W, int out_cap) {
+    tag = 3;
     dense = std::move(d);
     W_ = W;
     n_layers = chain_end;
@@ -579,34 +634,50 @@ struct ChainRows : RowProducer {
         dstp[o] = l == n_layers - 1 ? out_row + (size_t)o * W_
                                     : lbuf_out + (size_t)o * W_;
       constexpr int XB = 64;
-      int32_t accb[XB];
-      for (int x0 = 0; x0 < W_; x0 += XB) {
-        const int nb = W_ - x0 < XB ? W_ - x0 : XB;
+      // Constant-trip block (accb strip promoted to registers); outputs are
+      // pure in x, so a shifted overlapping final block covers the tail.
+      auto block = [&](int x0) {
         for (int o = 0; o < co; o++) {
           const int32_t bias = cb[l][o];
           const int32_t* krow = cw[l] + (size_t)o * ci;
-          for (int x = 0; x < nb; x++) accb[x] = bias;
+          int32_t accb[XB];
+          for (int x = 0; x < XB; x++) accb[x] = bias;
           if (residual) {
             const int32_t* r = srcp[o] + x0;
-            for (int x = 0; x < nb; x++) accb[x] += r[x] << SYN_MUL_PRECISION;
+            for (int x = 0; x < XB; x++) accb[x] += r[x] << SYN_MUL_PRECISION;
           }
           for (int i = 0; i < ci; i++) {
             const int32_t wgt = krow[i];
             if (wgt == 0) continue;
             const int32_t* s = srcp[i] + x0;
-            if (nb == XB) {
-              for (int x = 0; x < XB; x++) accb[x] += s[x] * wgt;
-            } else {
-              for (int x = 0; x < nb; x++) accb[x] += s[x] * wgt;
-            }
+            for (int x = 0; x < XB; x++) accb[x] += s[x] * wgt;
           }
           int32_t* dst = dstp[o] + x0;
-          for (int x = 0; x < nb; x++) {
+          for (int x = 0; x < XB; x++) {
             int32_t sum = accb[x];
             if (sum < 0)
               dst[x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
             else
               dst[x] = sum >> SYN_MUL_PRECISION;
+          }
+        }
+      };
+      if (W_ >= XB) {
+        int x0 = 0;
+        for (; x0 + XB <= W_; x0 += XB) block(x0);
+        if (x0 < W_) block(W_ - XB);
+      } else {
+        for (int o = 0; o < co; o++) {
+          const int32_t bias = cb[l][o];
+          const int32_t* krow = cw[l] + (size_t)o * ci;
+          for (int x = 0; x < W_; x++) {
+            int32_t sum = bias;
+            if (residual) sum += srcp[o][x] << SYN_MUL_PRECISION;
+            for (int i = 0; i < ci; i++) sum += srcp[i][x] * krow[i];
+            if (sum < 0)
+              dstp[o][x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
+            else
+              dstp[o][x] = sum >> SYN_MUL_PRECISION;
           }
         }
       }
@@ -620,11 +691,15 @@ struct SpatialRows : RowProducer {
   RowProducer* src = nullptr;
   int n_in = 0, co = 0, ks = 0, pad = 0, W_ = 0;
   bool residual = false, relu = false;
+  // yuv420 output: odd-row chroma is discarded by the caller's 4:2:0
+  // expansion, so the final layer skips channels 1.. on odd rows.
+  bool skip_odd_chroma = false;
   const int32_t* wts = nullptr;
   const int32_t* bias = nullptr;
 
   void init(RowProducer* s, int n_in_, int W, const int32_t*& wp,
             const int32_t*& bp, const int32_t* desc, int out_cap) {
+    tag = 4;
     src = s;
     n_in = n_in_;
     W_ = W;
@@ -656,8 +731,8 @@ struct SpatialRows : RowProducer {
     const int32_t* resrow = residual ? src->row(y) : nullptr;
     auto clampx = [&](int x) { return x < 0 ? 0 : (x >= W_ ? W_ - 1 : x); };
     constexpr int XB = 64;
-    int32_t accb[XB];
-    for (int o = 0; o < co; o++) {
+    const int o_end = (skip_odd_chroma && (y & 1) && co > 1) ? 1 : co;
+    for (int o = 0; o < o_end; o++) {
       const int32_t* kbase = wts + (size_t)o * n_in * ks * ks;
       const int32_t b = bias[o];
       const int32_t* rres = residual ? resrow + (size_t)o * W_ : nullptr;
@@ -679,11 +754,13 @@ struct SpatialRows : RowProducer {
       };
       for (int x = 0; x < pad && x < W_; x++) border_px(x);
       const int xi1 = W_ - pad;
-      for (int x0 = pad; x0 < xi1; x0 += XB) {
-        const int nb = xi1 - x0 < XB ? xi1 - x0 : XB;
-        for (int x = 0; x < nb; x++) accb[x] = b;
+      // Constant-trip interior blocks with a shifted overlapping tail (pure
+      // in x), so the accumulator strip stays in registers.
+      auto block = [&](int x0) {
+        int32_t accb[XB];
+        for (int x = 0; x < XB; x++) accb[x] = b;
         if (rres)
-          for (int x = 0; x < nb; x++)
+          for (int x = 0; x < XB; x++)
             accb[x] += rres[x0 + x] << SYN_MUL_PRECISION;
         const int32_t* k = kbase;
         for (int i = 0; i < n_in; i++) {
@@ -693,21 +770,24 @@ struct SpatialRows : RowProducer {
               const int32_t wgt = *k++;
               if (wgt == 0) continue;
               const int32_t* s = srow + xx;
-              if (nb == XB) {
-                for (int x = 0; x < XB; x++) accb[x] += s[x] * wgt;
-              } else {
-                for (int x = 0; x < nb; x++) accb[x] += s[x] * wgt;
-              }
+              for (int x = 0; x < XB; x++) accb[x] += s[x] * wgt;
             }
           }
         }
-        for (int x = 0; x < nb; x++) {
+        for (int x = 0; x < XB; x++) {
           int32_t sum = accb[x];
           if (sum < 0)
             dst[x0 + x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
           else
             dst[x0 + x] = sum >> SYN_MUL_PRECISION;
         }
+      };
+      if (xi1 - pad >= XB) {
+        int x0 = pad;
+        for (; x0 + XB <= xi1; x0 += XB) block(x0);
+        if (x0 < xi1) block(xi1 - XB);
+      } else {
+        for (int x = pad; x < xi1; x++) border_px(x);
       }
       for (int x = xi1 > pad ? xi1 : pad; x < W_; x++) border_px(x);
     }
@@ -717,12 +797,14 @@ struct SpatialRows : RowProducer {
 // Build the pipeline and stream the frame. Returns false when the layer
 // pattern falls outside what the pipeline handles (caller falls back to
 // the plane path).
+// flags bit 0: yuv420 output — odd-row chroma of the final layer is
+// overwritten by the caller's 4:2:0 expansion, so skip computing it.
 bool ups_syn_stream(const int32_t* latents, const int32_t* heights,
                     const int32_t* widths, int n_res, int ups_k_size,
                     int pre_k_size, const int32_t* ups_kernels,
                     const int32_t* pre_kernels, const int32_t* syn_w,
                     const int32_t* syn_b, const int32_t* syn_desc,
-                    int n_syn_layers, int32_t* out) {
+                    int n_syn_layers, int flags, int32_t* out) {
   const int H = heights[0], W = widths[0];
   // Applicability: a leading run of 1x1 layers (>=1; mixes the n_res
   // channels) followed only by odd-ks spatial layers; bounded kernels.
@@ -794,20 +876,34 @@ bool ups_syn_stream(const int32_t* latents, const int32_t* heights,
   RowProducer* top = chain.get();
   int n_in = chain->co_final;
   stages.push_back(std::move(chain));
+  SpatialRows* last_spatial = nullptr;
   for (int l = chain_end; l < n_syn_layers; l++) {
     next_ks = l + 1 < n_syn_layers ? syn_desc[4 * (l + 1) + 1] : 1;
     auto sp = std::make_unique<SpatialRows>();
     sp->init(top, n_in, W, wp, bp, syn_desc + 4 * l, next_ks + 3);
     n_in = sp->co;
     top = sp.get();
+    last_spatial = sp.get();
     stages.push_back(std::move(sp));
   }
+  const bool skip_odd = (flags & 1) && last_spatial && n_in == 3;
+  if (skip_odd) last_spatial->skip_odd_chroma = true;
 
   for (int y = 0; y < H; y++) {
     const int32_t* r = top->row(y);
-    for (int o = 0; o < n_in; o++)
+    const int o_copy = (skip_odd && (y & 1)) ? 1 : n_in;
+    for (int o = 0; o < o_copy; o++)
       std::memcpy(out + ((size_t)o * H + y) * W, r + (size_t)o * W,
                   (size_t)W * sizeof(int32_t));
+  }
+  if (stream_prof_enabled()) {
+    double* b = prof_bins();
+    fprintf(stderr, "stream prof:");
+    for (int i = 0; i < 5; i++) {
+      fprintf(stderr, " %s %.1f ms", PROF_TAGS[i], b[i] * 1e3);
+      b[i] = 0.0;
+    }
+    fprintf(stderr, "\n");
   }
   return true;
 }
@@ -829,12 +925,12 @@ extern "C" {
 //                   frac), layer order, OIHW row-major.
 //   syn_desc      : per layer [out_ft, ks, residual, relu], 4 ints each.
 //   out           : [out_ft_last * H * W] int32 at 12 frac bits.
-void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
-                     const int32_t* widths, int n_res, int ups_k_size,
-                     int pre_k_size, const int32_t* ups_kernels,
-                     const int32_t* pre_kernels, const int32_t* syn_w,
-                     const int32_t* syn_b, const int32_t* syn_desc,
-                     int n_syn_layers, int32_t* out) {
+void ccz_ups_syn_int_flags(const int32_t* latents, const int32_t* heights,
+                           const int32_t* widths, int n_res, int ups_k_size,
+                           int pre_k_size, const int32_t* ups_kernels,
+                           const int32_t* pre_kernels, const int32_t* syn_w,
+                           const int32_t* syn_b, const int32_t* syn_desc,
+                           int n_syn_layers, int flags, int32_t* out) {
   int H = heights[0], W = widths[0];
   const auto t_ups0 = std::chrono::steady_clock::now();
 
@@ -847,7 +943,7 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
   if (!no_stream &&
       ups_syn_stream(latents, heights, widths, n_res, ups_k_size, pre_k_size,
                      ups_kernels, pre_kernels, syn_w, syn_b, syn_desc,
-                     n_syn_layers, out)) {
+                     n_syn_layers, flags, out)) {
     const double dt = std::chrono::duration<double>(
                           std::chrono::steady_clock::now() - t_ups0)
                           .count();
@@ -1126,6 +1222,18 @@ void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
                         std::chrono::steady_clock::now() - t_syn0)
                         .count();
   g_stage_secs[3] = g_stage_secs[1] - g_stage_secs[2];
+}
+
+// Legacy entry (python ctypes ABI): all output positions computed.
+void ccz_ups_syn_int(const int32_t* latents, const int32_t* heights,
+                     const int32_t* widths, int n_res, int ups_k_size,
+                     int pre_k_size, const int32_t* ups_kernels,
+                     const int32_t* pre_kernels, const int32_t* syn_w,
+                     const int32_t* syn_b, const int32_t* syn_desc,
+                     int n_syn_layers, int32_t* out) {
+  ccz_ups_syn_int_flags(latents, heights, widths, n_res, ups_k_size,
+                        pre_k_size, ups_kernels, pre_kernels, syn_w, syn_b,
+                        syn_desc, n_syn_layers, 0, out);
 }
 
 }  // extern "C"
