@@ -86,6 +86,7 @@ struct alignas(64) ArmWeightsT {
   int32_t head_w0[MAX_DIM_ARM];     // head rows, per-output (SIMD path)
   int32_t head_w1[MAX_DIM_ARM];
   int32_t head_b[2];
+  int32_t mu0, ls0;  // cached MLP output for the all-zero context
   int dim;
   int n_hidden;
 };
@@ -126,6 +127,15 @@ template <int C, int NH>
 __attribute__((noinline)) void arm_forward_fixed(const ArmWeightsT& aw,
                                                  const int32_t* ctx,
                                                  int32_t& mu, int32_t& ls) {
+  {
+    int32_t nz = 0;
+    for (int i = 0; i < C; i++) nz |= ctx[i];
+    if (!nz) {
+      mu = aw.mu0;
+      ls = aw.ls0;
+      return;
+    }
+  }
   int32_t x[C], acc[C];
   for (int i = 0; i < C; i++) x[i] = ctx[i];
   for (int l = 0; l < NH; l++) {
@@ -166,6 +176,15 @@ inline void arm_forward_avx2(const ArmWeightsT& aw, const int32_t* base,
   __m256i x[NB], acc[NB];
   for (int b = 0; b < NB; b++)
     x[b] = _mm256_i32gather_epi32(base, idx[b], 4);
+  {
+    __m256i nz = x[0];
+    for (int b = 1; b < NB; b++) nz = _mm256_or_si256(nz, x[b]);
+    if (_mm256_testz_si256(nz, nz)) {  // all-zero context: cached output
+      mu = aw.mu0;
+      ls = aw.ls0;
+      return;
+    }
+  }
   const __m256i scale = _mm256_set1_epi32(ARM_SCALE);
   const __m256i half = _mm256_set1_epi32(ARM_SCALE / 2);
   const __m256i zero = _mm256_setzero_si256();
@@ -229,6 +248,17 @@ inline void arm_forward_avx512(const ArmWeightsT& aw, const int32_t* base,
   constexpr int NB = C / 16;
   __m512i x[NB], acc[NB];
   for (int b = 0; b < NB; b++) x[b] = _mm512_i32gather_epi32(idx[b], base, 4);
+  // All-zero context (common in sparse grids): the MLP output is a
+  // constant, cached at setup.
+  {
+    __mmask16 nz = 0;
+    for (int b = 0; b < NB; b++) nz |= _mm512_test_epi32_mask(x[b], x[b]);
+    if (!nz) {
+      mu = aw.mu0;
+      ls = aw.ls0;
+      return;
+    }
+  }
   const __m512i half = _mm512_set1_epi32(ARM_SCALE / 2);
   const __m512i zero = _mm512_setzero_si512();
   alignas(64) int32_t xs[C];
@@ -269,6 +299,15 @@ inline void arm_forward_avx512(const ArmWeightsT& aw, const int32_t* base,
 void arm_forward_generic(const ArmWeightsT& aw, const int32_t* ctx,
                          int32_t& mu, int32_t& ls) {
   const int C = aw.dim;
+  {
+    int32_t nz = 0;
+    for (int i = 0; i < C; i++) nz |= ctx[i];
+    if (!nz && !(aw.mu0 == INT32_MIN)) {
+      mu = aw.mu0;
+      ls = aw.ls0;
+      return;
+    }
+  }
   int32_t x[MAX_DIM_ARM], acc[MAX_DIM_ARM];
   for (int i = 0; i < C; i++) x[i] = ctx[i];
   for (int l = 0; l < aw.n_hidden; l++) {
@@ -389,6 +428,15 @@ void ccz_decode_arm_latent_layer(const uint8_t* data, int len,
                                  int h, int w, int blk, int32_t* out) {
   ArmWeightsT aw;
   build_weights(aw, weights, biases, dim_arm, n_hidden);
+  {  // seed the all-zero-context cache (sentinel disables the shortcut
+     // inside arm_forward_generic during this very call)
+    aw.mu0 = INT32_MIN;
+    int32_t zctx[MAX_DIM_ARM] = {0};
+    int32_t m0, l0;
+    arm_forward_generic(aw, zctx, m0, l0);
+    aw.mu0 = m0;
+    aw.ls0 = l0;
+  }
 
   bool update = blk < 0;
   int ablk = update ? -blk : blk;
