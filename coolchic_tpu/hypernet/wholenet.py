@@ -114,9 +114,11 @@ class NOWholeNet:
         (reference: hypernet.py:1188-1206)."""
         latents = self.predict_latents(state, img_nchw[None])
         params = dict(jax.tree.map(lambda a: a, state.decoder))
+        # Predicted latents already use the stored (pre-gain) convention:
+        # the wholenet forward feeds them to coolchic_forward_latents, which
+        # applies cfg.encoder_gain itself.
         params["latents"] = [
-            jax.lax.stop_gradient(l[0, 0][None] / self.cfg.encoder_gain)
-            for l in latents
+            jax.lax.stop_gradient(l[0, 0][None]) for l in latents
         ]
         return params
 
@@ -223,8 +225,7 @@ class DeltaWholeNet:
                 jax.tree.map(lambda base, d: base + d, state.decoder, delta0)
             )
         params["latents"] = [
-            jax.lax.stop_gradient(l[0, 0][None] / self.cfg.encoder_gain)
-            for l in latents
+            jax.lax.stop_gradient(l[0, 0][None]) for l in latents
         ]
         return params
 

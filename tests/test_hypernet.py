@@ -120,6 +120,21 @@ def test_image_to_coolchic_materializes_params():
 
     decoded, rate, _ = frame_forward(params, CFG, training=False)
     assert decoded.shape == (3, 32, 32)
+    # Latent-convention consistency: the raw coolchic forward on the
+    # materialized params must reproduce the wholenet's own eval-mode
+    # forward (caught a double encoder_gain division that silently wrecked
+    # finetune inits). frame_forward is not used here: it adds eval
+    # bitdepth rounding the wholenet forward doesn't apply.
+    from coolchic_tpu.models import coolchic_forward
+
+    raw, _, _ = coolchic_forward(params, CFG, training=False)
+    out_wn, _ = net.forward(
+        state, img[None], quantizer_noise_type="none",
+        quantizer_type="hardround", training=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw), np.asarray(out_wn[0]), atol=1e-5
+    )
 
 
 def test_train_wholenet_improves():
