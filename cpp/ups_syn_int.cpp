@@ -803,6 +803,118 @@ struct ChainRows : RowProducer {
   }
 };
 
+#ifdef __AVX512F__
+// One spatial layer over a 64-px block, 4-output register tile (same
+// load-sharing as chain_block4_avx512; taps iterate (in, ky, kx)).
+inline void spatial_block4_avx512(const int32_t* const* srows, int32_t* dst0,
+                                  const int32_t* resrow, const int32_t* wts,
+                                  const int32_t* bias, int n_in, int ks,
+                                  int pad, int W, int o0, int x0,
+                                  bool residual, bool relu) {
+  __m512i a0[4], a1[4], a2[4], a3[4];
+  for (int v = 0; v < 4; v++) {
+    a0[v] = _mm512_set1_epi32(bias[o0]);
+    a1[v] = _mm512_set1_epi32(bias[o0 + 1]);
+    a2[v] = _mm512_set1_epi32(bias[o0 + 2]);
+    a3[v] = _mm512_set1_epi32(bias[o0 + 3]);
+  }
+  __m512i* accs[4] = {a0, a1, a2, a3};
+  if (residual) {
+    for (int j = 0; j < 4; j++) {
+      const int32_t* r = resrow + (size_t)(o0 + j) * W + x0;
+      for (int v = 0; v < 4; v++) {
+        __m512i rv = _mm512_loadu_si512((const void*)(r + v * 16));
+        accs[j][v] = _mm512_add_epi32(
+            accs[j][v], _mm512_slli_epi32(rv, SYN_MUL_PRECISION));
+      }
+    }
+  }
+  const int ksq = ks * ks;
+  const size_t ostride = (size_t)n_in * ksq;
+  for (int i = 0; i < n_in; i++) {
+    for (int yy = 0; yy < ks; yy++) {
+      const int32_t* srow = srows[i * ks + yy] + x0 - pad;
+      for (int xx = 0; xx < ks; xx++) {
+        const int t = i * ksq + yy * ks + xx;
+        const __m512i w0 = _mm512_set1_epi32(wts[(o0 + 0) * ostride + t]);
+        const __m512i w1 = _mm512_set1_epi32(wts[(o0 + 1) * ostride + t]);
+        const __m512i w2 = _mm512_set1_epi32(wts[(o0 + 2) * ostride + t]);
+        const __m512i w3 = _mm512_set1_epi32(wts[(o0 + 3) * ostride + t]);
+        const int32_t* sp = srow + xx;
+        for (int v = 0; v < 4; v++) {
+          const __m512i sv = _mm512_loadu_si512((const void*)(sp + v * 16));
+          a0[v] = _mm512_add_epi32(a0[v], _mm512_mullo_epi32(sv, w0));
+          a1[v] = _mm512_add_epi32(a1[v], _mm512_mullo_epi32(sv, w1));
+          a2[v] = _mm512_add_epi32(a2[v], _mm512_mullo_epi32(sv, w2));
+          a3[v] = _mm512_add_epi32(a3[v], _mm512_mullo_epi32(sv, w3));
+        }
+      }
+    }
+  }
+  const __m512i zero = _mm512_setzero_si512();
+  for (int j = 0; j < 4; j++) {
+    int32_t* dst = dst0 + (size_t)(o0 + j) * W + x0;
+    for (int v = 0; v < 4; v++) {
+      const __m512i sum = accs[j][v];
+      const __mmask16 isneg = _mm512_cmplt_epi32_mask(sum, zero);
+      const __m512i pos = _mm512_srai_epi32(sum, SYN_MUL_PRECISION);
+      const __m512i nval = _mm512_sub_epi32(
+          zero, _mm512_srai_epi32(_mm512_sub_epi32(zero, sum),
+                                  SYN_MUL_PRECISION));
+      _mm512_storeu_si512(
+          (void*)(dst + v * 16),
+          _mm512_mask_blend_epi32(isneg, pos, relu ? zero : nval));
+    }
+  }
+}
+
+inline void spatial_block1_avx512(const int32_t* const* srows, int32_t* dst0,
+                                  const int32_t* resrow, const int32_t* wts,
+                                  const int32_t* bias, int n_in, int ks,
+                                  int pad, int W, int o, int x0, bool residual,
+                                  bool relu) {
+  __m512i a[4];
+  for (int v = 0; v < 4; v++) a[v] = _mm512_set1_epi32(bias[o]);
+  if (residual) {
+    const int32_t* r = resrow + (size_t)o * W + x0;
+    for (int v = 0; v < 4; v++) {
+      __m512i rv = _mm512_loadu_si512((const void*)(r + v * 16));
+      a[v] = _mm512_add_epi32(a[v], _mm512_slli_epi32(rv, SYN_MUL_PRECISION));
+    }
+  }
+  const int ksq = ks * ks;
+  const int32_t* kbase = wts + (size_t)o * n_in * ksq;
+  for (int i = 0; i < n_in; i++) {
+    for (int yy = 0; yy < ks; yy++) {
+      const int32_t* srow = srows[i * ks + yy] + x0 - pad;
+      for (int xx = 0; xx < ks; xx++) {
+        const int32_t wgt = kbase[i * ksq + yy * ks + xx];
+        if (!wgt) continue;
+        const __m512i wv = _mm512_set1_epi32(wgt);
+        const int32_t* sp = srow + xx;
+        for (int v = 0; v < 4; v++) {
+          const __m512i sv = _mm512_loadu_si512((const void*)(sp + v * 16));
+          a[v] = _mm512_add_epi32(a[v], _mm512_mullo_epi32(sv, wv));
+        }
+      }
+    }
+  }
+  const __m512i zero = _mm512_setzero_si512();
+  int32_t* dst = dst0 + (size_t)o * W + x0;
+  for (int v = 0; v < 4; v++) {
+    const __m512i sum = a[v];
+    const __mmask16 isneg = _mm512_cmplt_epi32_mask(sum, zero);
+    const __m512i pos = _mm512_srai_epi32(sum, SYN_MUL_PRECISION);
+    const __m512i nval = _mm512_sub_epi32(
+        zero,
+        _mm512_srai_epi32(_mm512_sub_epi32(zero, sum), SYN_MUL_PRECISION));
+    _mm512_storeu_si512(
+        (void*)(dst + v * 16),
+        _mm512_mask_blend_epi32(isneg, pos, relu ? zero : nval));
+  }
+}
+#endif  // __AVX512F__
+
 // One spatial (odd-ks) synthesis layer over a multi-channel producer.
 struct SpatialRows : RowProducer {
   RowProducer* src = nullptr;
@@ -849,6 +961,48 @@ struct SpatialRows : RowProducer {
     auto clampx = [&](int x) { return x < 0 ? 0 : (x >= W_ ? W_ - 1 : x); };
     constexpr int XB = 64;
     const int o_end = (skip_odd_chroma && (y & 1) && co > 1) ? 1 : co;
+#ifdef __AVX512F__
+    if (W_ - 2 * pad >= XB) {
+      // Interior via the 4-output register-tiled kernels; borders scalar.
+      const int xi1 = W_ - pad;
+      auto col = [&](int x0) {
+        int o = 0;
+        for (; o + 4 <= o_end; o += 4)
+          spatial_block4_avx512(srows, out_row, resrow, wts, bias, n_in, ks,
+                                pad, W_, o, x0, residual, relu);
+        for (; o < o_end; o++)
+          spatial_block1_avx512(srows, out_row, resrow, wts, bias, n_in, ks,
+                                pad, W_, o, x0, residual, relu);
+      };
+      int x0 = pad;
+      for (; x0 + XB <= xi1; x0 += XB) col(x0);
+      if (x0 < xi1) col(xi1 - XB);
+      for (int o = 0; o < o_end; o++) {
+        const int32_t* kbase = wts + (size_t)o * n_in * ks * ks;
+        const int32_t b = bias[o];
+        const int32_t* rres = residual ? resrow + (size_t)o * W_ : nullptr;
+        int32_t* dst = out_row + (size_t)o * W_;
+        auto border_px = [&](int x) {
+          int32_t sum = b;
+          if (rres) sum += rres[x] << SYN_MUL_PRECISION;
+          const int32_t* k = kbase;
+          for (int i = 0; i < n_in; i++)
+            for (int yy = 0; yy < ks; yy++) {
+              const int32_t* sp = srows[i * ks + yy];
+              for (int xx = 0; xx < ks; xx++)
+                sum += sp[clampx(x + xx - pad)] * *k++;
+            }
+          if (sum < 0)
+            dst[x] = relu ? 0 : -((-sum) >> SYN_MUL_PRECISION);
+          else
+            dst[x] = sum >> SYN_MUL_PRECISION;
+        };
+        for (int x = 0; x < pad; x++) border_px(x);
+        for (int x = xi1; x < W_; x++) border_px(x);
+      }
+      return;
+    }
+#endif
     for (int o = 0; o < o_end; o++) {
       const int32_t* kbase = wts + (size_t)o * n_in * ks * ks;
       const int32_t b = bias[o];
