@@ -164,7 +164,7 @@ def measure(batch: int, trial: int) -> float:
     return batch * n_calls * PHASE_ITERS / dt
 
 
-def worker_main(batch: int, todo: list[str]) -> None:
+def worker_main(todo: list[str]) -> None:
     """Run the requested measurements, streaming one JSON line each.
     `todo` entries: "probe:<seed>" or "trial:<batch>x<i>"."""
     import jax
@@ -199,14 +199,26 @@ def stop_sweep_processes() -> list[int]:
     killed = []
     import signal
 
-    pidfiles = ["results/image/kodak/tpu_sweep/run.pid",
-                "results/image/clic20-pro-valid/tpu_sweep/run.pid"]
+    root = os.path.dirname(os.path.abspath(__file__))
+    pidfiles = [
+        os.path.join(root, "results/image", d, "tpu_sweep/run.pid")
+        for d in ("kodak", "clic20-pro-valid", "jvet")
+    ]
     pids = []
     for pf in pidfiles:
         try:
-            pids.append(int(open(pf).read().strip()))
+            pid = int(open(pf).read().strip())
         except Exception:
             continue
+        # Identity check: only kill a process that is actually the sweep
+        # (stale pidfiles can alias an unrelated recycled PID).
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode(errors="replace")
+        except OSError:
+            continue
+        if "rd_sweep" in cmd or "kodak_rd_sweep" in cmd:
+            pids.append(pid)
     # children (encode workers) of each run loop, via /proc
     for pid in list(pids):
         try:
@@ -232,11 +244,10 @@ def stop_sweep_processes() -> list[int]:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
-    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--todo", type=str, default="")
     args = ap.parse_args()
     if args.worker:
-        worker_main(args.batch, args.todo.split(","))
+        worker_main(args.todo.split(","))
         return
 
     env = dict(os.environ)

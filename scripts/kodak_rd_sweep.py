@@ -56,16 +56,36 @@ SWEEP_LAMBDAS = (4e-4, 1e-3, 4e-3, 2e-2)
 # dim_arm-24 defaults), so resumes and finalize stay shape-consistent.
 SWEEP_ARCH = {"dim_arm": 16}
 
+# Auxiliary low-operating-point batches: at the lowest rate point
+# (lambda=2e-2) the published reference streams predominantly switch to the
+# lop decoder (arm 8,2 + 16-wide synthesis: 14/24 Kodak streams; the
+# 48-wide default's NN rate dominates such tiny streams). Aux batches
+# re-encode that point with the lop arch; `finalize` keeps whichever
+# candidate wins the RD cost per (seq, lambda), mirroring the reference
+# encoder's multi-decoder-config search (reference: cfg/dec/lop.cfg).
+AUX_LMBDA = 2e-2
+AUX_ARCH = {
+    "dim_arm": 8,
+    "n_hidden_layers_arm": 2,
+    "layers_synthesis": (
+        "16-1-linear-relu",
+        "X-1-linear-none",
+        "X-3-residual-relu",
+        "X-3-residual-none",
+    ),
+}
 
-def _batch_arch(bdir: Path, state_exists: bool) -> dict:
+
+def _batch_arch(bdir: Path, state_exists: bool, plan_arch: dict = None) -> dict:
     apath = bdir / "arch.json"
     if apath.exists():
         return json.loads(apath.read_text())
     if state_exists:  # in-flight from before the arch switch
         return {}
     bdir.mkdir(parents=True, exist_ok=True)
-    apath.write_text(json.dumps(SWEEP_ARCH))
-    return dict(SWEEP_ARCH)
+    arch = dict(plan_arch) if plan_arch is not None else dict(SWEEP_ARCH)
+    apath.write_text(json.dumps(arch))
+    return arch
 
 # ---- dataset selection (--dataset; default kodak keeps the original
 # layout and the state/CLI contract of running sweeps untouched).
@@ -174,9 +194,32 @@ def job_list(budget: str):
     for size, js in sorted(buckets.items()):
         for i in range(0, len(js), BATCH):
             chunk = js[i : i + BATCH]
+            n_real = len(chunk)
             while len(chunk) < BATCH:  # pad with repeats; dropped at finalize
-                chunk = chunk + [dict(chunk[len(chunk) % len(js)], pad=True)]
+                chunk = chunk + [dict(chunk[len(chunk) % n_real], pad=True)]
             batches.append({"size": size, "jobs": chunk[:BATCH]})
+
+    # Aux lop batches (appended AFTER the main plan so existing batch
+    # indices, states, and finals stay valid). uids continue past the main
+    # jobs, keeping every job's PRNG key stable.
+    uid = len(jobs)
+    aux_jobs = []
+    for seq in SEQS:
+        for loop in range(n_loops):
+            aux_jobs.append({"seq": seq, "lmbda": AUX_LMBDA, "loop": loop,
+                             "uid": uid})
+            uid += 1
+    aux_buckets = {}
+    for j in aux_jobs:
+        aux_buckets.setdefault(sizes[j["seq"]], []).append(j)
+    for size, js in sorted(aux_buckets.items()):
+        for i in range(0, len(js), BATCH):
+            chunk = js[i : i + BATCH]
+            n_real = len(chunk)
+            while len(chunk) < BATCH:
+                chunk = chunk + [dict(chunk[len(chunk) % n_real], pad=True)]
+            batches.append({"size": size, "jobs": chunk[:BATCH],
+                            "arch": dict(AUX_ARCH)})
     return batches
 
 
@@ -269,14 +312,30 @@ def cmd_encode(args) -> None:
     seed = args.seed
     _, seg_iters = _chip_seg_iters()
 
-    for bi, batch in enumerate(batches):
+    # Processing order: each aux lop batch runs right after the last main
+    # batch of the sequences it complements (so finished images get their
+    # best-of-both lambda=2e-2 point early), not after the whole main plan.
+    seq_main = {}
+    for i, b in enumerate(batches):
+        if "arch" not in b:
+            for j in b["jobs"]:
+                seq_main.setdefault(j["seq"], i)
+
+    def _prio(i):
+        b = batches[i]
+        if "arch" not in b:
+            return float(i)
+        return max(seq_main.get(j["seq"], 0) for j in b["jobs"]) + 0.5
+
+    for bi in sorted(range(len(batches)), key=_prio):
+        batch = batches[bi]
         if args.batch is not None and bi != args.batch:
             continue
         bdir, spath, fpath = _batch_paths(bi, args.budget)
         if fpath.exists():
             continue
         h, w = batch["size"]
-        arch = _batch_arch(bdir, spath.exists())
+        arch = _batch_arch(bdir, spath.exists(), batch.get("arch"))
         cfg = CoolChicConfig(img_size=(int(h), int(w)), **arch)
         jobs = batch["jobs"]
         targets = np.stack([np.load(tdir / f"{j['seq']}.npy") for j in jobs])

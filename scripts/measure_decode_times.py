@@ -66,6 +66,7 @@ def time_ours(exe: Path, bs: Path, out: Path) -> dict:
                        capture_output=True, text=True)
     assert r.returncode == 0, f"our decode failed: {bs.name}: {r.stderr[-200:]}"
     m = _OUR_RE.search(r.stderr)
+    assert m, f"unparseable decoder report for {bs.name}: {r.stderr[-200:]}"
     nn, arm, ups_syn, total = map(float, m.groups())
     d = {"nn": nn * 1e-3, "arm": arm * 1e-3, "ups_syn": ups_syn * 1e-3,
          "total": total * 1e-3}
@@ -81,6 +82,7 @@ def time_ref(exe: Path, bs: Path, out: Path) -> dict:
                         "--avx2", "--v=1"], capture_output=True, text=True)
     assert r.returncode == 0, f"ref decode failed: {bs.name}: {r.stderr[-200:]}"
     m = _REF_RE.search(r.stdout + r.stderr)
+    assert m, f"unparseable reference report for {bs.name}: {(r.stdout + r.stderr)[-200:]}"
     arm, ups, syn, total = map(float, m.groups())
     return {"arm": arm, "ups_syn": ups + syn, "total": total}
 
