@@ -150,9 +150,11 @@ def hypernet_to_bitstream(
         m: jax.tree.map(lambda b, d: b + d, state.decoder[m], qdeltas[m])
         for m in state.decoder
     }
-    params["latents"] = [
-        jax.lax.stop_gradient(l[0][None] / net.cfg.encoder_gain) for l in lat0
-    ]
+    # Predicted latents are already in the stored (pre-gain) convention —
+    # coolchic_forward applies cfg.encoder_gain itself (same fix as
+    # wholenet.image_to_coolchic; dividing again shrank every transmitted
+    # latent symbol 16x).
+    params["latents"] = [jax.lax.stop_gradient(l[0][None]) for l in lat0]
     qparams, infos = quantize_model_with_info(params, img, lmbda, net.cfg)
     nn_q_step = {
         m: {"weight": float(i.q_step_w), "bias": float(i.q_step_b)}

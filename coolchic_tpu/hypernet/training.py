@@ -153,14 +153,25 @@ def train_wholenet(
             training.py:371-373; resumable via the ``__latest`` convention).
         samples_offset: samples already seen by a resumed run. ``n_samples``
             stays the TOTAL target: the step count covers the remainder,
-            while the LR/temperature schedules and checkpoint names continue
-            on the global sample clock (so a crash-resumed run is the same
-            schedule as an uninterrupted one).
+            the data stream and per-step noise keys fast-forward past the
+            consumed prefix, and the LR/temperature schedules and
+            checkpoint names continue on the global sample clock. Known
+            limitation: optimizer moments restart at zero on resume
+            (checkpoints deliberately store only WholeNetState — Adam
+            moments would triple the 80 MB delta checkpoints), so expect a
+            brief loss blip at the resume boundary.
 
     Returns:
         (best state, list of HypernetTrainLog).
     """
     n_steps = max((n_samples - samples_offset) // batch_size, 1)
+    # Resume fidelity: fast-forward the stream past the batches the
+    # pre-crash run consumed, so the resumed run sees the data (and, via
+    # the global step index in fold_in below, the noise keys) an
+    # uninterrupted run would — not a replay of the first batches.
+    steps_done = samples_offset // batch_size
+    for _ in range(steps_done):
+        next(data_iter)
     freq_valid_steps = max(freq_valid_samples // batch_size, 1)
     patience_steps = (
         max(patience_samples // batch_size, 1) if patience_samples else None
@@ -217,7 +228,7 @@ def train_wholenet(
         imgs = next(data_iter)
         if data_sharding is not None:
             imgs = jax.device_put(imgs, data_sharding)
-        step_key = jax.random.fold_in(key, i)
+        step_key = jax.random.fold_in(key, steps_done + i)
         state, opt_state, loss = step(
             state, opt_state, imgs, lmbda, step_key, lr, temp, noise
         )

@@ -193,7 +193,13 @@ def coolchic_forward(
     # chip window: pallas 51 ms vs XLA 857 ms eval forward — see
     # results/pallas_eval_ab.json); default OFF on CPU, where the kernel
     # only runs interpreted (orders of magnitude slower than XLA-CPU).
-    # COOLCHIC_PALLAS_EVAL=0/1 forces either way.
+    # COOLCHIC_PALLAS_EVAL=0/1 forces either way. Scope note: this gate
+    # covers EVERY eval-mode forward on TPU — in-scan validation blocks,
+    # the NN-quant RD search, and vmapped/shard_mapped batch encodes — not
+    # just the standalone eval (the medium RD sweep runs it in production;
+    # the estimators agree to ~0.003% of total rate, pallas being f32-exact
+    # where XLA eval carries bf16 matmul error). Set 0 if a toolchain
+    # regression breaks pallas lowering under vmap/scan.
     pallas_flag = os.environ.get("COOLCHIC_PALLAS_EVAL", "")
     if pallas_flag == "":
         pallas_flag = "0" if jax.default_backend() == "cpu" else "1"

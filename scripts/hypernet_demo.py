@@ -171,7 +171,7 @@ def cmd_eval(args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from coolchic_tpu.hypernet import DeltaWholeNet, NOWholeNet
+    from coolchic_tpu.hypernet import DeltaWholeNet
     from coolchic_tpu.metalearning.data import PatchDataset, train_test_split
     from coolchic_tpu.models import CoolChicConfig, init_coolchic_params
     from coolchic_tpu.train.presets import TrainerPhase
@@ -189,9 +189,7 @@ def cmd_eval(args) -> None:
     _, test_paths = train_test_split(paths)
     eval_ds = PatchDataset(test_paths, EVAL_PATCH, seed=7)
 
-    no_state = pickle.load(open(WORKDIR / "no_wholenet.pkl", "rb"))
     d_state = pickle.load(open(WORKDIR / "delta_wholenet.pkl", "rb"))
-    no_net = NOWholeNet(cfg_e)
     d_net = DeltaWholeNet(cfg_e)
 
     tune = TrainerPhase(
