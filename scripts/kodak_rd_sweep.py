@@ -507,19 +507,46 @@ def cmd_encode(args) -> None:
                 b0 = st["block"]
                 ps = st["ps"]
                 if b0 < nfb:
-                    nb = min(seg_blocks, nfb - b0)
-                    # keep the last partial chunk the same compiled size by
-                    # allowing two shapes only: seg_blocks or the remainder
-                    ps = chunked(
-                        jax.vmap(
+                    # Device-resident multi-segment run: each chunk's state
+                    # moves to the device ONCE, advances up to CKPT_EVERY
+                    # segments there, and comes back for a single
+                    # checkpoint — the old per-segment host round-trip of
+                    # the ~100 MB batch state dominated wall time on a
+                    # degraded tunnel. Crash-loss profile is unchanged
+                    # (state was only ever saved every CKPT_EVERY segments).
+                    dev_chunks = []
+                    for c0 in range(0, len(jobs), DEV_CHUNK):
+                        sl = slice(c0, min(c0 + DEV_CHUNK, len(jobs)))
+                        dev_chunks.append([
+                            jax.tree.map(
+                                lambda a: jnp.asarray(np.asarray(a)[sl]), ps
+                            ),
+                            jnp.asarray(np.asarray(targets)[sl]),
+                            jnp.asarray(np.asarray(lmbdas)[sl]),
+                        ])
+                    b = b0
+                    segs = 0
+                    while b < nfb and segs < CKPT_EVERY:
+                        nb = min(seg_blocks, nfb - b)
+                        # two compiled shapes only: seg_blocks or remainder
+                        fn = jax.vmap(
                             lambda s, t, l: run_phase_blocks(
-                                s, t, l, jnp.int32(b0), cfg, phase, nb
+                                s, t, l, jnp.int32(b), cfg, phase, nb
                             )
+                        )
+                        for ch in dev_chunks:
+                            ch[0] = fn(ch[0], ch[1], ch[2])
+                        b += nb
+                        segs += 1
+                    ps = jax.tree.map(
+                        lambda *xs: np.concatenate(
+                            [np.asarray(x) for x in xs], axis=0
                         ),
-                        ps, targets, lmbdas,
+                        *[ch[0] for ch in dev_chunks],
                     )
-                    st = {**st, "block": b0 + nb, "ps": ps}
-                    ckpt()
+                    st = {**st, "block": b, "ps": ps}
+                    for _ in range(segs):
+                        ckpt()
                 else:
                     if rem:
                         ps = chunked(
