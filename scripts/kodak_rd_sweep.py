@@ -233,6 +233,40 @@ def _budget_dir(budget: str, kind: str) -> Path:
     return WORKDIR / f"{kind}{suffix}"
 
 
+def _done_rows(budget: str) -> dict:
+    """(seq, lmbda) -> row from the finalized results tsv. The per-batch
+    pickle state is transient (gitignored, lost on machine resets) but the
+    finalized tsv + bitstreams survive in git: a batch whose every job is
+    already covered by a finalized row needs no re-encode, and `finalize`
+    must merge new finals INTO these rows instead of dropping them."""
+    from coolchic_tpu.eval.bd_rate import parse_result_summary
+
+    suffix = "" if budget == "fast" else f"_{budget}"
+    tsv = WORKDIR / f"results{suffix}.tsv"
+    if not tsv.exists():
+        return {}
+    rows = {}
+    for seq, seq_rows in parse_result_summary(tsv).items():
+        for r in seq_rows:
+            rows[(seq, float(r["lmbda"]))] = r
+    return rows
+
+
+def _finalized_path(budget: str) -> Path:
+    suffix = "" if budget == "fast" else f"_{budget}"
+    return WORKDIR / f"finalized_batches{suffix}.json"
+
+
+def _finalized_set(budget: str) -> set:
+    """Batch indices whose final.pkl has been merged into the results tsv.
+    Persisted in git (unlike the pickle state) so a machine reset never
+    re-encodes completed batches."""
+    p = _finalized_path(budget)
+    if not p.exists():
+        return set()
+    return set(json.loads(p.read_text()))
+
+
 def _batch_paths(bi: int, budget: str = "fast"):
     bdir = _budget_dir(budget, "batches") / f"batch_{bi:03d}"
     return bdir, bdir / "state.pkl", bdir / "final.pkl"
@@ -327,12 +361,13 @@ def cmd_encode(args) -> None:
             return float(i)
         return max(seq_main.get(j["seq"], 0) for j in b["jobs"]) + 0.5
 
+    finalized = _finalized_set(args.budget)
     for bi in sorted(range(len(batches)), key=_prio):
         batch = batches[bi]
         if args.batch is not None and bi != args.batch:
             continue
         bdir, spath, fpath = _batch_paths(bi, args.budget)
-        if fpath.exists():
+        if fpath.exists() or bi in finalized:
             continue
         h, w = batch["size"]
         arch = _batch_arch(bdir, spath.exists(), batch.get("arch"))
@@ -663,8 +698,11 @@ def cmd_run(args) -> None:
                 break
             print("[health] chip degraded; waiting 180 s", flush=True)
             time.sleep(180)
+        finalized = _finalized_set(args.budget)
         n_final = sum(
-            1 for bi in range(len(job_list(args.budget))) if _batch_paths(bi, args.budget)[2].exists()
+            1
+            for bi in range(len(job_list(args.budget)))
+            if bi in finalized or _batch_paths(bi, args.budget)[2].exists()
         )
         total = len(job_list(args.budget))
         if n_final == total:
@@ -723,11 +761,22 @@ def cmd_finalize(args) -> None:
     bsdir.mkdir(parents=True, exist_ok=True)
     batches = job_list(args.budget)
     best: dict = {}  # (seq, lmbda) -> row
+    # Seed from previously finalized rows (the tsv + bitstreams survive in
+    # git; per-batch pickles do not) so re-finalizing after a machine reset
+    # merges new batches instead of dropping completed sequences.
+    for (seq, lm), r in _done_rows(args.budget).items():
+        bs_path = bsdir / f"{seq}-lmbda-{LMBDA_SUFFIX[lm]}.cool"
+        if not bs_path.exists():
+            continue
+        best[(seq, lm)] = {**r, "seq_name": seq, "_bs": bs_path.read_bytes()}
+    finalized = _finalized_set(args.budget)
     for bi in range(len(batches)):
         _, _, fpath = _batch_paths(bi, args.budget)
         if not fpath.exists():
-            print(f"batch {bi} not final — run `encode` first")
+            if bi not in finalized:
+                print(f"batch {bi} not final — run `encode` first")
             continue
+        finalized.add(bi)
         final = _load(fpath)
         bdir = _batch_paths(bi, args.budget)[0]
         apath = bdir / "arch.json"
@@ -776,6 +825,7 @@ def cmd_finalize(args) -> None:
         (bsdir / f"{seq}-lmbda-{LMBDA_SUFFIX[lm]}.cool").write_bytes(row.pop("_bs"))
         rows.append(row)
     write_results_tsv(rows, WORKDIR / f"results{suffix}.tsv")
+    _finalized_path(args.budget).write_text(json.dumps(sorted(finalized)))
 
     ref = parse_result_summary(WORKDIR / "ref_vs_proxy.tsv")
     ours = parse_result_summary(WORKDIR / f"results{suffix}.tsv")
@@ -829,13 +879,21 @@ def cmd_finalize(args) -> None:
 
 def cmd_status(args) -> None:
     batches = job_list(args.budget)
+    finalized = _finalized_set(args.budget)
     for bi in range(len(batches)):
         bdir, spath, fpath = _batch_paths(bi, args.budget)
-        state = "final" if fpath.exists() else (
-            _load(spath)["stage"] if spath.exists() else "pending"
-        )
+        if fpath.exists():
+            state = "final"
+        elif bi in finalized:
+            state = "finalized (tsv)"
+        elif spath.exists():
+            state = _load(spath)["stage"]
+        else:
+            state = "pending"
         size = batches[bi]["size"]
-        print(f"batch {bi:03d} {size}: {state}")
+        seqs = sorted({j["seq"] for j in batches[bi]["jobs"] if not j.get("pad")})
+        kind = "aux" if "arch" in batches[bi] else "main"
+        print(f"batch {bi:03d} {size} {kind} [{','.join(seqs)}]: {state}")
 
 
 def main():
