@@ -1,0 +1,73 @@
+"""Durable-ledger logic of the RD sweep engine (scripts/kodak_rd_sweep.py).
+
+The per-batch pickle state is transient (gitignored, lost on machine
+resets); the finalized results TSV + bitstreams + finalized_batches json
+survive in git. These tests pin the reset-survival contract:
+  * a batch listed in the finalized ledger is skipped by `encode` even
+    when its final.pkl is gone;
+  * `finalize` seeds from previously finalized TSV rows (+ their
+    bitstreams) so re-finalizing after a reset merges instead of drops.
+"""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+
+@pytest.fixture()
+def sweep(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "kodak_rd_sweep_under_test",
+        Path(__file__).resolve().parents[1] / "scripts/kodak_rd_sweep.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "WORKDIR", tmp_path)
+    return mod
+
+
+def _write_tsv(mod, tmp_path, budget, rows):
+    from coolchic_tpu.eval.bd_rate import write_results_tsv
+
+    suffix = "" if budget == "fast" else f"_{budget}"
+    write_results_tsv(rows, tmp_path / f"results{suffix}.tsv")
+
+
+def test_finalized_set_roundtrip(sweep, tmp_path):
+    assert sweep._finalized_set("medium") == set()
+    sweep._finalized_path("medium").write_text(json.dumps([0, 3]))
+    assert sweep._finalized_set("medium") == {0, 3}
+    # fast budget uses the unsuffixed path and its own ledger
+    assert sweep._finalized_set("fast") == set()
+    assert sweep._finalized_path("fast").name == "finalized_batches.json"
+    assert sweep._finalized_path("medium").name == "finalized_batches_medium.json"
+
+
+def test_done_rows_reads_finalized_tsv(sweep, tmp_path):
+    rows = [
+        {"seq_name": "kodim01", "lmbda": 0.004, "rate_bpp": 0.3,
+         "n_pixels": 393216, "psnr_db": 28.1, "rd_cost": 0.0028, "loop": 1},
+        {"seq_name": "kodim02", "lmbda": 0.02, "rate_bpp": 0.04,
+         "n_pixels": 393216, "psnr_db": 29.1, "rd_cost": 0.0019, "loop": 0},
+    ]
+    _write_tsv(sweep, tmp_path, "medium", rows)
+    done = sweep._done_rows("medium")
+    assert set(done) == {("kodim01", 0.004), ("kodim02", 0.02)}
+    assert done[("kodim01", 0.004)]["psnr_db"] == pytest.approx(28.1)
+    # absent tsv -> empty, not an error
+    assert sweep._done_rows("slow") == {}
+
+
+def test_done_rows_survives_float_formatting(sweep, tmp_path):
+    """Finalize rewrites the tsv through float() parsing — keys must keep
+    matching after a round-trip that turns 393216 into 393216.0."""
+    rows = [{"seq_name": "kodim05", "lmbda": "0.0004", "rate_bpp": "1.26",
+             "n_pixels": "393216.0", "psnr_db": "36.6", "rd_cost": "0.00072",
+             "loop": "0.0"}]
+    _write_tsv(sweep, tmp_path, "medium", rows)
+    done = sweep._done_rows("medium")
+    assert ("kodim05", 4e-4) in done
