@@ -203,6 +203,8 @@ def stop_sweep_processes() -> list[int]:
     pidfiles = [
         os.path.join(root, "results/image", d, "tpu_sweep/run.pid")
         for d in ("kodak", "clic20-pro-valid", "jvet")
+    ] + [
+        os.path.join(root, "results/image/kodak/tpu_sweep/inflation_probe/run.pid")
     ]
     pids = []
     for pf in pidfiles:
@@ -217,7 +219,7 @@ def stop_sweep_processes() -> list[int]:
                 cmd = f.read().decode(errors="replace")
         except OSError:
             continue
-        if "rd_sweep" in cmd or "kodak_rd_sweep" in cmd:
+        if "rd_sweep" in cmd or "inflation_probe" in cmd:
             pids.append(pid)
     # children (encode workers) of each run loop, via /proc
     for pid in list(pids):
