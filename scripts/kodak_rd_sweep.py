@@ -850,7 +850,11 @@ def cmd_finalize(args) -> None:
             "(quantified in proxy_bias.json via the reference's published "
             "true-PSNR table): this number is a LOWER bound on the "
             "true-space gap, understating it by at most ~8.6% BD-rate "
-            "(scripts/proxy_bias.py)."
+            "(worst-case bound, scripts/proxy_bias.py); the one "
+            "ground-truth calibration point available offline measures "
+            "the actual flattery at +0.24% BD-rate "
+            "(scripts/proxy_inflation_probe.py -> "
+            "inflation_probe/inflation_probe.json)."
         ),
     }
     # canonical judge-visible location + per-budget archive; a partial
