@@ -239,6 +239,11 @@ def encode_frame_bitstream(
         np.round(np.asarray(lat, np.float64) * gain).astype(np.int32)
         for lat in params["latents"]
     ]
+    # Pinned-zero grids never received gradient, but their *raw* latents
+    # still hold the warmup init (possibly small noise); the decoder must
+    # see the exact zeros the training forward masked in.
+    for g in cfg.frozen_zero_grids:
+        y_grids[g][:] = 0
     ac_max_val_latent = int(
         np.ceil(max(np.abs(y).max() for y in y_grids) + 2)
     )

@@ -62,8 +62,28 @@ class CoolChicConfig:
     # flow/gain channels consumed by the motion-compensated prediction
     # (out_channels 6 / 9; reference: cpp/ccdecapi.cpp process_inter)
     flow_gain: int = 1
+    # Latent grids (by index) pinned to exactly zero for the whole encode:
+    # their quantized latents are masked to 0 in the forward pass, so the
+    # optimizer routes all information to the remaining grids and the
+    # bitstream codes an all-insignificant grid (a few bytes). Encoder-side
+    # search knob only — the format is unchanged and any decoder reads the
+    # result. Mirrors the reference's published low-rate streams, whose
+    # full-resolution grid is near-empty (e.g. kodim02-lmbda-002: 33 B for
+    # grid 0 vs 370 B when left free; reference results/image/kodak).
+    frozen_zero_grids: Tuple[int, ...] = ()
 
     def __post_init__(self):
+        # JSON round-trips (arch.json in the RD sweeps) deliver sequence
+        # fields as lists; normalize to tuples so the config stays hashable
+        # wherever it is used as a jit static argument.
+        for f in ("layers_synthesis", "n_ft_per_res", "frozen_zero_grids", "img_size"):
+            v = getattr(self, f)
+            if not isinstance(v, tuple):
+                object.__setattr__(self, f, tuple(v))
+        assert all(0 <= g < len(self.n_ft_per_res) for g in self.frozen_zero_grids), (
+            f"frozen_zero_grids {self.frozen_zero_grids} out of range for "
+            f"{len(self.n_ft_per_res)} grids"
+        )
         assert self.dim_arm in (8, 16, 24, 32), (
             f"ARM context size must be 8, 16, 24 or 32. Found {self.dim_arm}."
         )

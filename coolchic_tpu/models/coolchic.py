@@ -175,6 +175,12 @@ def coolchic_forward(
         )
         if ac_max_val != -1:
             q = jnp.clip(q, -ac_max_val, ac_max_val + 1)
+        if level in cfg.frozen_zero_grids:
+            # Pinned-zero grid (encoder-side RD search knob, see
+            # CoolChicConfig.frozen_zero_grids): zero after quantization so
+            # the grid contributes nothing, its latents get no gradient,
+            # and the ARM rate sees exact zeros (all-insignificant blocks).
+            q = q * 0.0
         if valid_hw is not None:
             hv, wv = level_valid_hw(valid_hw, level)
             m = valid_mask_2d(q.shape[-2], q.shape[-1], hv, wv, q.dtype)
