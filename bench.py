@@ -204,7 +204,11 @@ def stop_sweep_processes() -> list[int]:
         os.path.join(root, "results/image", d, "tpu_sweep/run.pid")
         for d in ("kodak", "clic20-pro-valid", "jvet")
     ] + [
-        os.path.join(root, "results/image/kodak/tpu_sweep/inflation_probe/run.pid")
+        os.path.join(root, "results/image/kodak/tpu_sweep/inflation_probe/run.pid"),
+        # The supervisor (scripts/sweep_supervisor.py) relaunches the run
+        # loop whenever the sweep goes idle — it must die too, or it would
+        # restart the sweep mid-bench.
+        "/tmp/sweep_supervisor.pid",
     ]
     pids = []
     for pf in pidfiles:
@@ -219,7 +223,7 @@ def stop_sweep_processes() -> list[int]:
                 cmd = f.read().decode(errors="replace")
         except OSError:
             continue
-        if "rd_sweep" in cmd or "inflation_probe" in cmd:
+        if "rd_sweep" in cmd or "inflation_probe" in cmd or "sweep_supervisor" in cmd:
             pids.append(pid)
     # children (encode workers) of each run loop, via /proc
     for pid in list(pids):

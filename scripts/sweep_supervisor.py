@@ -1,0 +1,78 @@
+"""Babysit the medium RD sweep across launcher generations.
+
+The run loop (`kodak_rd_sweep.py run`) snapshots `job_list` at launch, so a
+wave appended to the script while a launcher is alive is invisible to that
+launcher. This supervisor waits for the active launcher to exit, folds the
+completed batches into the results tsv (`finalize` needs the TPU idle), and
+starts a fresh launcher that sees the full batch list. Repeats until a
+launcher reports every batch final, then finalizes once more and exits.
+
+Usage: python scripts/sweep_supervisor.py [--budget medium] [--dataset kodak]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SWEEP = REPO / "scripts" / "kodak_rd_sweep.py"
+
+
+def _sweep_pids() -> list[int]:
+    """PIDs of live kodak_rd_sweep processes (excluding ourselves)."""
+    me = os.getpid()
+    out = []
+    for p in Path("/proc").iterdir():
+        if not p.name.isdigit() or int(p.name) == me:
+            continue
+        try:
+            cmd = (p / "cmdline").read_bytes().replace(b"\0", b" ")
+        except OSError:
+            continue
+        if b"kodak_rd_sweep.py" in cmd:
+            out.append(int(p.name))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", default="medium")
+    ap.add_argument("--dataset", default="kodak")
+    ap.add_argument("--max_attempts", type=int, default=400)
+    args = ap.parse_args()
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    base = [sys.executable, str(SWEEP)]
+    tail = ["--budget", args.budget, "--dataset", args.dataset]
+
+    for generation in range(10):
+        while _sweep_pids():
+            time.sleep(60)
+        time.sleep(30)  # grace for fd flushes / tunnel teardown
+        print(f"[supervisor] gen {generation}: sweep idle; finalizing", flush=True)
+        subprocess.run(base + ["finalize"] + tail, env=env, cwd=REPO, timeout=7200)
+        pr = subprocess.run(
+            base + ["run", "--max_attempts", str(args.max_attempts)] + tail,
+            env=env, cwd=REPO, capture_output=True, text=True,
+        )
+        sys.stdout.write(pr.stdout or "")
+        sys.stdout.flush()
+        if "all batches final" in (pr.stdout or ""):
+            print("[supervisor] sweep complete; final finalize", flush=True)
+            subprocess.run(base + ["finalize"] + tail, env=env, cwd=REPO,
+                           timeout=7200)
+            return
+        print(f"[supervisor] run loop exited rc={pr.returncode}; relaunching",
+              flush=True)
+    raise SystemExit("supervisor: generations exhausted")
+
+
+if __name__ == "__main__":
+    main()
