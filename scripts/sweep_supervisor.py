@@ -1,13 +1,17 @@
-"""Babysit the medium RD sweep across launcher generations.
+"""Babysit RD sweeps across launcher generations and chain datasets.
 
 The run loop (`kodak_rd_sweep.py run`) snapshots `job_list` at launch, so a
 wave appended to the script while a launcher is alive is invisible to that
-launcher. This supervisor waits for the active launcher to exit, folds the
-completed batches into the results tsv (`finalize` needs the TPU idle), and
-starts a fresh launcher that sees the full batch list. Repeats until a
-launcher reports every batch final, then finalizes once more and exits.
+launcher. For each stage (budget:dataset) in order, this supervisor waits
+for any active sweep process to exit, folds the completed batches into the
+results tsv (`finalize` needs the TPU idle), and starts a fresh launcher
+that sees the full batch list. A stage is complete when its launcher
+reports every batch final; the supervisor then finalizes once more and
+moves to the next stage, keeping the single shared TPU chip busy
+end-to-end (the sweeps themselves are checkpointed and crash-resumable).
 
-Usage: python scripts/sweep_supervisor.py [--budget medium] [--dataset kodak]
+Usage:
+  python scripts/sweep_supervisor.py --stages medium:kodak,fast:clic20-pro-valid
 """
 
 from __future__ import annotations
@@ -39,39 +43,48 @@ def _sweep_pids() -> list[int]:
     return out
 
 
+def supervise_stage(budget: str, dataset: str, max_attempts: int, env: dict) -> None:
+    base = [sys.executable, str(SWEEP)]
+    tail = ["--budget", budget, "--dataset", dataset]
+    for generation in range(20):
+        while _sweep_pids():
+            time.sleep(60)
+        time.sleep(30)  # grace for fd flushes / tunnel teardown
+        print(f"[supervisor] {budget}:{dataset} gen {generation}: idle; finalizing",
+              flush=True)
+        subprocess.run(base + ["finalize"] + tail, env=env, cwd=REPO, timeout=7200)
+        pr = subprocess.run(
+            base + ["run", "--max_attempts", str(max_attempts)] + tail,
+            env=env, cwd=REPO, capture_output=True, text=True,
+        )
+        sys.stdout.write(pr.stdout or "")
+        sys.stdout.flush()
+        if "all batches final" in (pr.stdout or ""):
+            print(f"[supervisor] {budget}:{dataset} complete; final finalize",
+                  flush=True)
+            subprocess.run(base + ["finalize"] + tail, env=env, cwd=REPO,
+                           timeout=7200)
+            return
+        print(f"[supervisor] run loop exited rc={pr.returncode}; relaunching",
+              flush=True)
+    raise SystemExit(f"supervisor: generations exhausted on {budget}:{dataset}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--budget", default="medium")
-    ap.add_argument("--dataset", default="kodak")
+    ap.add_argument("--stages", default="medium:kodak",
+                    help="comma-separated budget:dataset stages, run in order")
     ap.add_argument("--max_attempts", type=int, default=400)
     args = ap.parse_args()
 
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
-    base = [sys.executable, str(SWEEP)]
-    tail = ["--budget", args.budget, "--dataset", args.dataset]
 
-    for generation in range(10):
-        while _sweep_pids():
-            time.sleep(60)
-        time.sleep(30)  # grace for fd flushes / tunnel teardown
-        print(f"[supervisor] gen {generation}: sweep idle; finalizing", flush=True)
-        subprocess.run(base + ["finalize"] + tail, env=env, cwd=REPO, timeout=7200)
-        pr = subprocess.run(
-            base + ["run", "--max_attempts", str(args.max_attempts)] + tail,
-            env=env, cwd=REPO, capture_output=True, text=True,
-        )
-        sys.stdout.write(pr.stdout or "")
-        sys.stdout.flush()
-        if "all batches final" in (pr.stdout or ""):
-            print("[supervisor] sweep complete; final finalize", flush=True)
-            subprocess.run(base + ["finalize"] + tail, env=env, cwd=REPO,
-                           timeout=7200)
-            return
-        print(f"[supervisor] run loop exited rc={pr.returncode}; relaunching",
-              flush=True)
-    raise SystemExit("supervisor: generations exhausted")
+    for stage in args.stages.split(","):
+        budget, dataset = stage.strip().split(":")
+        supervise_stage(budget, dataset, args.max_attempts, env)
+    print("[supervisor] all stages complete", flush=True)
 
 
 if __name__ == "__main__":
