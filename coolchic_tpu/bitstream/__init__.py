@@ -1,4 +1,8 @@
-from coolchic_tpu.bitstream.decode import decode_bitstream, decode_video_bitstream
+from coolchic_tpu.bitstream.decode import (
+    decode_bitstream,
+    decode_bitstreams,
+    decode_video_bitstream,
+)
 from coolchic_tpu.bitstream.encode import (
     encode_frame_bitstream,
     encode_image_bitstream,
@@ -14,6 +18,7 @@ from coolchic_tpu.bitstream.header import (
 
 __all__ = [
     "decode_bitstream",
+    "decode_bitstreams",
     "decode_video_bitstream",
     "encode_frame_bitstream",
     "encode_image_bitstream",

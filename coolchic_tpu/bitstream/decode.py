@@ -78,6 +78,49 @@ def decode_bitstream(
     return img, info
 
 
+def decode_bitstreams(
+    datas: list, n_threads: int | None = None
+) -> list:
+    """Decode many independent bitstreams in parallel on a C thread pool
+    (cpp/frame_decoder.cpp ccz_decode_many) — the production serving shape;
+    the reference decoder handles one stream per process
+    (reference: cpp/ccdecapi.cpp main). Outputs are bit-identical to
+    serial ``decode_bitstream`` / ``decode_video_bitstream`` calls.
+
+    Returns one (payload, info) per stream, matching the serial APIs:
+    rgb single-frame streams yield ([C, H, W] float image in [0, 1], info);
+    everything else yields ([display-ordered [3, H, W] float frames], info).
+    ``info["kind"]`` is "image" or "video". Streams the C decoder rejects
+    fall back to the python integer pipeline individually.
+
+    Args:
+        n_threads: pool size; default = min(n_streams, cpu count).
+    """
+    from coolchic_tpu.bitstream.entropy import decode_many_cc
+
+    results = decode_many_cc(datas, n_threads=n_threads)
+    if results is None:
+        results = [None] * len(datas)
+    out = []
+    for data, res in zip(datas, results):
+        if res is None:  # uncovered configuration: serial python fallback
+            gop = read_gop_header(data)
+            n_frames = gop.intra_period + 1 if gop.intra_period > 0 else 1
+            if n_frames == 1 and gop.frame_data_type == "rgb":
+                img, info = decode_bitstream(data, integer_pipeline=True)
+                out.append((img, dict(info, kind="image")))
+            else:
+                frames, info = decode_video_bitstream(data)
+                out.append((frames, dict(info, kind="video")))
+            continue
+        payload, info = res
+        if info["kind"] == "video":
+            max_dyn = np.float32((1 << info["bitdepth"]) - 1)
+            payload = [f.astype(np.float32) / max_dyn for f in payload]
+        out.append((payload, info))
+    return out
+
+
 def decode_video_bitstream(data: bytes, full_info: bool = False) -> Tuple[list, Dict]:
     """Decode a multi-frame bitstream with the reference decoder's exact
     integer pipeline (reference: cpp/ccdecapi.cpp:673-840):

@@ -60,7 +60,8 @@ def build_library() -> str:
 
         emit_inc_file(inc)
     cmd = (
-        ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC"]
+        ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+         "-pthread"]
         + [os.path.join(_CPP_DIR, s) for s in _SOURCES]
         + ["-o", _LIB_PATH]
     )
@@ -88,7 +89,7 @@ def build_decoder_binary(force: bool = False) -> str:
 
         emit_inc_file(inc)
     cmd = (
-        ["g++", "-O3", "-march=native", "-std=c++17"]
+        ["g++", "-O3", "-march=native", "-std=c++17", "-pthread"]
         + [os.path.join(_CPP_DIR, s) for s in _BIN_SOURCES]
         + ["-o", _BIN_PATH]
     )
@@ -390,6 +391,77 @@ def decode_video_cc(data: bytes) -> Optional[Tuple[np.ndarray, dict]]:
         "total_sec": times[3],
     }
     return out.reshape(info["n_frames"], 3, h, w), info
+
+
+def decode_many_cc(
+    datas: list, n_threads: Optional[int] = None
+) -> Optional[list]:
+    """Decode independent bitstreams concurrently on a C thread pool
+    (cpp/frame_decoder.cpp ccz_decode_many): plain data parallelism over
+    streams, each decoded by the same single-stream entry points, so outputs
+    are bit-identical to serial decodes. The reference decoder is strictly
+    one stream per process (reference: cpp/ccdecapi.cpp main).
+
+    Per stream the result mirrors the serial fast paths: rgb single-frame
+    streams return ([c, H, W] float image in [0, 1], info) exactly like
+    ``decode_image_cc``; everything else returns ([n_frames, 3, H, W] int32
+    display-ordered samples, info) exactly like ``decode_video_cc``
+    (``info["kind"]`` says which). Returns None if any header fails to
+    parse; a stream the C decoder rejects gets ``None`` in its slot (caller
+    falls back to the python pipeline for that stream only).
+    """
+    if not datas:
+        return []
+    lib = _load()
+    infos = [probe_bitstream(d) for d in datas]
+    if any(i is None for i in infos):
+        return None
+    n = len(datas)
+    bufs = [np.frombuffer(d, np.uint8).copy() for d in datas]
+    kinds, outs = [], []
+    for info in infos:
+        h, w = info["img_size"]
+        if info["n_frames"] == 1 and info["frame_data_type"] == "rgb":
+            kinds.append(0)
+            outs.append(np.empty(info["c_out"] * h * w, np.int32))
+        else:
+            kinds.append(1)
+            outs.append(np.empty(info["n_frames"] * 3 * h * w, np.int32))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p_t = ctypes.POINTER(ctypes.c_int32)
+    data_arr = (u8p * n)(*[b.ctypes.data_as(u8p) for b in bufs])
+    out_arr = (i32p_t * n)(*[_i32p(o) for o in outs])
+    len_arr = np.array([len(b) for b in bufs], np.int32)
+    kind_arr = np.array(kinds, np.int32)
+    times = np.zeros((n, 4), np.float64)
+    rcs = np.zeros(n, np.int32)
+    if n_threads is None:
+        n_threads = min(n, os.cpu_count() or 1)
+    lib.ccz_decode_many(
+        data_arr, _i32p(len_arr), n, out_arr, _i32p(kind_arr),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        int(n_threads), _i32p(rcs),
+    )
+    results: list = []
+    for i, (info, kind, out) in enumerate(zip(infos, kinds, outs)):
+        if rcs[i] < 0:
+            results.append(None)
+            continue
+        h, w = info["img_size"]
+        info = dict(info, kind="image" if kind == 0 else "video")
+        info["timings"] = {
+            "nn_sec": times[i, 0], "arm_sec": times[i, 1],
+            "ups_syn_sec": times[i, 2], "total_sec": times[i, 3],
+        }
+        if kind == 0:
+            max_dyn = 2.0 ** info["bitdepth"] - 1.0
+            results.append(
+                (out.reshape(info["c_out"], h, w).astype(np.float32) / max_dyn,
+                 info)
+            )
+        else:
+            results.append((out.reshape(info["n_frames"], 3, h, w), info))
+    return results
 
 
 def decode_latent_layer(data: bytes, mus, log_scales, h: int, w: int, blk: int = 16) -> np.ndarray:

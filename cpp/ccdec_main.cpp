@@ -6,12 +6,17 @@
 //   g++ -O3 -march=native -std=c++17 ccdec_main.cpp frame_decoder.cpp \
 //       arm_decode.cpp ups_syn_int.cpp entropy_api.cpp -o ccdec
 //
-// Usage: ccdec -i bitstream.cool -o out.{ppm|yuv} [-v]
+// Usage: ccdec -i bitstream.cool -o out.{ppm|yuv} [-i ... -o ...] [-t N] [-v]
+//   Repeated -i/-o pairs decode multiple streams; -t sets the worker-pool
+//   size (0 = all cores). Outputs are bit-identical to serial decodes.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" int ccz_probe_bitstream(const uint8_t* data, int len,
@@ -39,24 +44,11 @@ static void write_samples(FILE* out, const int32_t* p, size_t n, int bitdepth) {
   }
 }
 
-int main(int argc, char** argv) {
-  const char* in_path = nullptr;
-  const char* out_path = nullptr;
-  bool verbose = false;
-  for (int i = 1; i < argc; i++) {
-    if (!strcmp(argv[i], "-i") && i + 1 < argc) in_path = argv[++i];
-    else if (!strcmp(argv[i], "-o") && i + 1 < argc) out_path = argv[++i];
-    else if (!strcmp(argv[i], "-v")) verbose = true;
-    else {
-      fprintf(stderr, "usage: ccdec -i in.cool -o out.{ppm|yuv} [-v]\n");
-      return 2;
-    }
-  }
-  if (!in_path || !out_path) {
-    fprintf(stderr, "usage: ccdec -i in.cool -o out.{ppm|yuv} [-v]\n");
-    return 2;
-  }
-
+// Decode one bitstream file and write the PPM/YUV output (the original
+// single-stream main body; re-entrant, so multi-input mode runs it on a
+// thread pool — one stream per worker, outputs bit-identical to serial).
+static int process_one(const char* in_path, const char* out_path,
+                       bool verbose) {
   FILE* f = fopen(in_path, "rb");
   if (!f) { fprintf(stderr, "cannot open %s\n", in_path); return 1; }
   fseek(f, 0, SEEK_END);
@@ -153,5 +145,55 @@ int main(int argc, char** argv) {
     }
   }
   fclose(out);
+  return 0;
+}
+
+int main(int argc, char** argv) {
+  std::vector<const char*> ins, outs;
+  bool verbose = false;
+  int n_threads = 1;
+  for (int i = 1; i < argc; i++) {
+    if (!strcmp(argv[i], "-i") && i + 1 < argc) ins.push_back(argv[++i]);
+    else if (!strcmp(argv[i], "-o") && i + 1 < argc) outs.push_back(argv[++i]);
+    else if (!strcmp(argv[i], "-t") && i + 1 < argc) n_threads = atoi(argv[++i]);
+    else if (!strcmp(argv[i], "-v")) verbose = true;
+    else {
+      fprintf(stderr,
+              "usage: ccdec -i in.cool -o out.{ppm|yuv} [-i ... -o ...] "
+              "[-t threads] [-v]\n");
+      return 2;
+    }
+  }
+  if (ins.empty() || ins.size() != outs.size()) {
+    fprintf(stderr,
+            "usage: ccdec -i in.cool -o out.{ppm|yuv} [-i ... -o ...] "
+            "[-t threads] [-v]\n");
+    return 2;
+  }
+  if (ins.size() == 1) return process_one(ins[0], outs[0], verbose);
+
+  // Multi-input: decode streams concurrently (work-stealing index). The
+  // reference decoder is one stream per process (ccdecapi.cpp main).
+  const int n = (int)ins.size();
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next{0}, failed{0};
+  auto worker = [&] {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      if (process_one(ins[i], outs[i], verbose) != 0) failed.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int k = 0; k < n_threads; k++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  if (failed.load()) {
+    fprintf(stderr, "%d/%d streams failed\n", failed.load(), n);
+    return 1;
+  }
   return 0;
 }

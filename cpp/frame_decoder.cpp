@@ -15,9 +15,11 @@
 // Compiled into libccz.so together with entropy_api.cpp / arm_decode.cpp /
 // ups_syn_int.cpp, and into the standalone `ccdec` binary (ccdec_main.cpp).
 
+#include <atomic>
 #include <chrono>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "cabac.hpp"
@@ -553,6 +555,56 @@ int ccz_decode_image(const uint8_t* data, int len, int32_t* out_img,
     timings[3] = secs_since(t_all);
   }
   return c_out;
+}
+
+// Decode n independent bitstreams concurrently on a pool of n_threads
+// std::threads (work-stealing via an atomic index; streams are decoded by
+// exactly the single-stream entry points above, so outputs are bit-identical
+// to serial decodes). The decoder has no shared mutable state — per-stream
+// scratch lives on each worker's stack and the stage profilers are
+// thread_local — so this is plain data parallelism over streams, the
+// production serving shape (the reference decoder is strictly one stream
+// per process; reference: cpp/ccdecapi.cpp main).
+//
+//   datas[i], lens[i]  stream i bytes
+//   kinds[i]           0 = single image  (ccz_decode_image semantics)
+//                      1 = video / GOP   (ccz_decode_video semantics)
+//   outs[i]            caller-allocated int32 output (probe for the size:
+//                      image c_out*H*W, video n_frames*3*H*W)
+//   timings            optional [n, 4] per-stream {nn, arm, ups_syn, total}
+//   rcs                per-stream return code (c_out / n_frames, <0 error)
+//
+// Returns the number of failed streams (0 = all decoded).
+int ccz_decode_many(const uint8_t* const* datas, const int32_t* lens, int n,
+                    int32_t* const* outs, const int32_t* kinds,
+                    double* timings, int n_threads, int32_t* rcs) {
+  if (n <= 0) return 0;
+  if (n_threads <= 0) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next{0};
+  std::atomic<int> failed{0};
+  auto worker = [&] {
+    for (;;) {
+      const int i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n) return;
+      double* t = timings ? timings + (size_t)i * 4 : nullptr;
+      const int rc =
+          kinds[i] == 0
+              ? ccz_decode_image(datas[i], lens[i], outs[i], t)
+              : ccz_decode_video(datas[i], lens[i], outs[i], t);
+      rcs[i] = rc;
+      if (rc < 0) failed.fetch_add(1, std::memory_order_relaxed);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int k = 0; k < n_threads; k++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load();
 }
 
 }  // extern "C"

@@ -31,7 +31,9 @@
 
 // Per-call stage timings (seconds): [0] upsampling, [1] synthesis.
 // Read via ccz_ups_syn_stage_secs after a ccz_ups_syn_int call.
-static double g_stage_secs[4] = {0, 0, 0, 0};  // [2]=1x1 chain, [3]=spatial
+// thread_local: ccz_decode_many runs frame decodes concurrently and each
+// thread reads its own stream's timings.
+static thread_local double g_stage_secs[4] = {0, 0, 0, 0};  // [2]=chain, [3]=spatial
 extern "C" const double* ccz_ups_syn_stage_secs() { return g_stage_secs; }
 
 namespace {
@@ -303,11 +305,11 @@ inline bool stream_prof_enabled() {
   return on;
 }
 inline std::vector<double>& prof_stack() {
-  static std::vector<double> s;
+  static thread_local std::vector<double> s;
   return s;
 }
 inline double* prof_bins() {
-  static double bins[8];  // indexed by RowProducer::tag
+  static thread_local double bins[8];  // indexed by RowProducer::tag
   return bins;
 }
 const char* const PROF_TAGS[] = {"latent", "refine", "upsample", "chain",
