@@ -69,6 +69,27 @@ def test_empty_batch():
 
 
 @pytest.mark.skipif(not KODAK, reason="published kodak bitstreams unavailable")
+def test_decode_cli_directory_mode(tmp_path):
+    """`python -m coolchic_tpu.decode -i dir -o dir --threads N` decodes
+    every stream; outputs byte-identical to single-stream --int decodes."""
+    import shutil
+
+    from coolchic_tpu.decode import main
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    for p in KODAK[:2]:
+        shutil.copy(p, indir)
+    assert main(["-i", str(indir), "-o", str(outdir), "--threads", "2"]) == 0
+    for p in KODAK[:2]:
+        stem = p.rsplit("/", 1)[-1].removesuffix(".cool")
+        single = tmp_path / f"{stem}.ppm"
+        assert main(["-i", p, "-o", str(single), "--int"]) == 0
+        assert single.read_bytes() == (outdir / f"{stem}.ppm").read_bytes()
+
+
+@pytest.mark.skipif(not KODAK, reason="published kodak bitstreams unavailable")
 def test_ccdec_exe_multi_input(tmp_path):
     """The standalone ccdec decodes repeated -i/-o pairs on a pool; each
     output must be byte-identical to its single-stream decode."""
