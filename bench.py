@@ -191,25 +191,33 @@ def worker_main(todo: list[str]) -> None:
         print(json.dumps({"kind": kind, "arg": arg, "value": v}), flush=True)
 
 
-def stop_sweep_processes() -> list[int]:
+def stop_sweep_processes(pidfiles=None, cmdline_tags=None) -> list[int]:
     """Kill (by recorded PID only, never by pattern) any checkpointed-sweep
     run loop + its encode worker: a second TPU process through the shared
     tunnel makes every number garbage (CLAUDE.md). The sweep is fully
-    resumable from its on-disk state, so this only costs one segment."""
+    resumable from its on-disk state, so this only costs one segment.
+
+    ``pidfiles``/``cmdline_tags`` are injectable for tests; the defaults
+    cover every sweep pidfile this repo writes."""
     killed = []
     import signal
 
     root = os.path.dirname(os.path.abspath(__file__))
-    pidfiles = [
-        os.path.join(root, "results/image", d, "tpu_sweep/run.pid")
-        for d in ("kodak", "clic20-pro-valid", "jvet")
-    ] + [
-        os.path.join(root, "results/image/kodak/tpu_sweep/inflation_probe/run.pid"),
-        # The supervisor (scripts/sweep_supervisor.py) relaunches the run
-        # loop whenever the sweep goes idle — it must die too, or it would
-        # restart the sweep mid-bench.
-        "/tmp/sweep_supervisor.pid",
-    ]
+    if pidfiles is None:
+        pidfiles = [
+            os.path.join(root, "results/image", d, "tpu_sweep/run.pid")
+            for d in ("kodak", "clic20-pro-valid", "jvet")
+        ] + [
+            os.path.join(
+                root, "results/image/kodak/tpu_sweep/inflation_probe/run.pid"
+            ),
+            # The supervisor (scripts/sweep_supervisor.py) relaunches the
+            # run loop whenever the sweep goes idle — it must die too, or
+            # it would restart the sweep mid-bench.
+            "/tmp/sweep_supervisor.pid",
+        ]
+    if cmdline_tags is None:
+        cmdline_tags = ("rd_sweep", "inflation_probe", "sweep_supervisor")
     pids = []
     for pf in pidfiles:
         try:
@@ -223,7 +231,7 @@ def stop_sweep_processes() -> list[int]:
                 cmd = f.read().decode(errors="replace")
         except OSError:
             continue
-        if "rd_sweep" in cmd or "inflation_probe" in cmd or "sweep_supervisor" in cmd:
+        if any(tag in cmd for tag in cmdline_tags):
             pids.append(pid)
     # children (encode workers) of each run loop, via /proc
     for pid in list(pids):
