@@ -125,6 +125,10 @@ bool read_frame_header(Reader& r, FrameHeader& f) {
   uint32_t raw = r.u(1);
   f.dim_arm = (raw >> 4) * 8;
   f.n_hidden_layers_arm = raw & 0xF;
+  // The ARM kernels store weights in fixed [MAX_HIDDEN=4] arrays
+  // (arm_decode.cpp ArmWeightsT); deeper values only arise from corrupt
+  // headers and would overflow them.
+  if (f.n_hidden_layers_arm > 4) return false;
   raw = r.u(1);
   f.latent_n_grids = (raw >> 4) + 1;
   f.ups_k_size = raw & 0xF;
@@ -134,12 +138,25 @@ bool read_frame_header(Reader& r, FrameHeader& f) {
   f.n_syn_layers = r.u(1);
   if (f.n_syn_layers > MAX_SYN_LAYERS || f.latent_n_grids > MAX_GRIDS)
     return false;
+  int in_run = f.latent_n_grids;  // synthesis input width per layer
   for (int i = 0; i < f.n_syn_layers; i++) {
     f.syn_desc[i][0] = r.u(1);           // out_ft
     f.syn_desc[i][1] = r.u(1);           // k_size
     raw = r.u(1);
     f.syn_desc[i][2] = (raw >> 4) != 0;  // residual mode
     f.syn_desc[i][3] = (raw & 0xF) != 0; // relu
+    // Robustness against corrupt/malicious headers: the synthesis kernels
+    // cap channel fan-out at 64 (ups_syn_int.cpp srcp[64]) and use odd
+    // square kernels; reject anything outside that envelope instead of
+    // sizing weight buffers (and kernel pointer arrays) from garbage.
+    if (f.syn_desc[i][0] < 1 || f.syn_desc[i][0] > 64) return false;
+    const int ks = f.syn_desc[i][1];
+    if (ks < 1 || ks > 9 || ks % 2 == 0) return false;
+    // Residual layers add the layer input to its output elementwise —
+    // only well-defined (and only emitted by the encoder) when the
+    // channel count is preserved.
+    if (f.syn_desc[i][2] && f.syn_desc[i][0] != in_run) return false;
+    in_run = f.syn_desc[i][0];
   }
   f.flow_gain = r.u(1);
   f.ac_max_val_nn = r.u(2);
@@ -149,6 +166,12 @@ bool read_frame_header(Reader& r, FrameHeader& f) {
     for (int k = 0; k < 2; k++) f.q_step_idx[m][k] = r.u(1);
   for (int m = 0; m < 3; m++)
     for (int k = 0; k < 2; k++) f.scale_idx[m][k] = r.u(1);
+  // q_step_idx feeds `symbol << shift` (32-bit) and scale_idx is the
+  // exp-Golomb count (format searches 0-12); out-of-range values only
+  // arise from corruption and would be UB / unbounded decode work.
+  for (int m = 0; m < 3; m++)
+    for (int k = 0; k < 2; k++)
+      if (f.q_step_idx[m][k] > 31 || f.scale_idx[m][k] > 15) return false;
   for (int m = 0; m < 3; m++)
     for (int k = 0; k < 2; k++) f.n_bytes_nn[m][k] = r.u(2);
   int n_res = r.u(1);
