@@ -380,16 +380,21 @@ class Decoder {
   }
 
   int decode_exgolomb(int count) {
-    int symbol = 0;
+    uint64_t symbol = 0;
     unsigned bit = 1;
     while (bit) {
+      // Corrupt-stream guard: legit prefixes are short (count starts <= 12
+      // and symbols fit 31 bits), but garbage input — including EOF
+      // zero-fill, where value_ doubles mod 2^32 — can keep the unary
+      // prefix alive forever and push the shift past bit 31 (UB).
+      if (count >= 40) return 0;
       bit = decode_bin_ep();
-      symbol += bit << count;
+      symbol += (uint64_t)bit << count;
       count += 1;
     }
     count -= 1;
     if (count > 0) symbol += decode_bins_ep(count);
-    return symbol;
+    return (int)symbol;
   }
 
   unsigned decode_bin_trm() {

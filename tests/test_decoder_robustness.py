@@ -86,6 +86,38 @@ def test_random_burst_corruption_and_truncation():
 
 
 @pytest.mark.skipif(not KODAK, reason="published kodak bitstreams unavailable")
+def test_video_entry_survives_corruption():
+    """ccz_decode_video on corrupted bytes: the exp-Golomb unary-prefix
+    guard (cpp/cabac.hpp decode_exgolomb) bounds decode work — before it,
+    EOF zero-fill could spin the prefix loop forever."""
+    from coolchic_tpu.bitstream.entropy import _i32p, _load
+
+    lib = _load()
+    data = open(KODAK[3], "rb").read()
+    rng = random.Random(11)
+    times = (ctypes.c_double * 4)()
+    for _ in range(80):
+        buf = bytearray(data)
+        for _ in range(rng.choice((1, 1, 4))):
+            buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+        b = np.frombuffer(bytes(buf), np.uint8).copy()
+        info = np.zeros(6, np.int32)
+        if lib.ccz_probe_bitstream(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(b),
+            _i32p(info),
+        ) != 0:
+            continue
+        n = max(1, int(info[5]) * 3 * int(info[0]) * int(info[1]))
+        if n > 400_000_000:
+            continue
+        out = np.empty(n, np.int32)
+        lib.ccz_decode_video(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(b),
+            _i32p(out), times,
+        )  # must return without crashing/hanging
+
+
+@pytest.mark.skipif(not KODAK, reason="published kodak bitstreams unavailable")
 def test_validation_does_not_reject_legit_streams():
     """The new header validation must pass every published stream."""
     from coolchic_tpu.bitstream.entropy import _load
