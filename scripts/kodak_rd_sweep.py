@@ -83,6 +83,22 @@ AUX_ARCH = {
 # `finalize` keeps whichever candidate wins the RD cost per (seq, lambda).
 NOG0_ARCH = dict(AUX_ARCH, frozen_zero_grids=(0,))
 
+# Third aux variant: arm (16,2) + 16-wide synthesis — the arch several
+# published 2e-2 streams actually code (e.g. kodim06: nn 1000 B with this
+# arch vs 1164 B from our hop encode; kodim01-lmbda-00004 uses it too).
+# Completes the {hop, mop16, lop, lop+nog0} per-point search that mirrors
+# the reference's published per-image config selection.
+MOP16_ARCH = {
+    "dim_arm": 16,
+    "n_hidden_layers_arm": 2,
+    "layers_synthesis": (
+        "16-1-linear-relu",
+        "X-1-linear-none",
+        "X-3-residual-relu",
+        "X-3-residual-none",
+    ),
+}
+
 
 def _batch_arch(bdir: Path, state_exists: bool, plan_arch: dict = None) -> dict:
     apath = bdir / "arch.json"
@@ -229,25 +245,32 @@ def job_list(budget: str):
             batches.append({"size": size, "jobs": chunk[:BATCH],
                             "arch": dict(AUX_ARCH)})
 
-    # NOG0 wave (appended last, same index/uid stability contract): the
-    # lambda=2e-2 point again with grid 0 pinned to zero (see NOG0_ARCH).
-    nog0_jobs = []
-    for seq in SEQS:
-        for loop in range(n_loops):
-            nog0_jobs.append({"seq": seq, "lmbda": AUX_LMBDA, "loop": loop,
-                              "uid": uid})
-            uid += 1
-    nog0_buckets = {}
-    for j in nog0_jobs:
-        nog0_buckets.setdefault(sizes[j["seq"]], []).append(j)
-    for size, js in sorted(nog0_buckets.items()):
-        for i in range(0, len(js), BATCH):
-            chunk = js[i : i + BATCH]
-            n_real = len(chunk)
-            while len(chunk) < BATCH:
-                chunk = chunk + [dict(chunk[len(chunk) % n_real], pad=True)]
-            batches.append({"size": size, "jobs": chunk[:BATCH],
-                            "arch": dict(NOG0_ARCH)})
+    # Aux candidate waves, appended in priority order (append-only keeps
+    # the index/uid stability contract): each re-encodes the lambda=2e-2
+    # point under another decoder arch; `finalize` keeps the best RD per
+    # (seq, lambda). NOG0 first (biggest measured deficit), then MOP16.
+    def append_wave(arch: dict):
+        nonlocal uid
+        jobs = []
+        for seq in SEQS:
+            for loop in range(n_loops):
+                jobs.append({"seq": seq, "lmbda": AUX_LMBDA, "loop": loop,
+                             "uid": uid})
+                uid += 1
+        buckets = {}
+        for j in jobs:
+            buckets.setdefault(sizes[j["seq"]], []).append(j)
+        for size, js in sorted(buckets.items()):
+            for i in range(0, len(js), BATCH):
+                chunk = js[i : i + BATCH]
+                n_real = len(chunk)
+                while len(chunk) < BATCH:
+                    chunk = chunk + [dict(chunk[len(chunk) % n_real], pad=True)]
+                batches.append({"size": size, "jobs": chunk[:BATCH],
+                                "arch": dict(arch)})
+
+    append_wave(NOG0_ARCH)
+    append_wave(MOP16_ARCH)
     return batches
 
 
