@@ -249,10 +249,27 @@ def job_list(budget: str):
     # the index/uid stability contract): each re-encodes the lambda=2e-2
     # point under another decoder arch; `finalize` keeps the best RD per
     # (seq, lambda). NOG0 first (biggest measured deficit), then MOP16.
+    # Within a wave, sequences run worst-measured-deficit first (constant
+    # list — job_list must stay deterministic across processes — computed
+    # once from the 2e-2 rate gap vs the reference curve, medium rows
+    # where available else fast): if the round ends mid-wave, the biggest
+    # wins have landed.
+    WAVE_PRIORITY = (
+        "kodim16", "kodim04", "kodim12", "kodim09", "kodim10", "kodim20",
+        "kodim22", "kodim15", "kodim17", "kodim18", "kodim23", "kodim21",
+        "kodim11", "kodim03", "kodim24", "kodim02", "kodim14", "kodim13",
+        "kodim19", "kodim06", "kodim01", "kodim07", "kodim08", "kodim05",
+    )
+    wave_seqs = sorted(
+        SEQS,
+        key=lambda s: (WAVE_PRIORITY.index(s) if s in WAVE_PRIORITY
+                       else len(WAVE_PRIORITY), s),
+    )
+
     def append_wave(arch: dict):
         nonlocal uid
         jobs = []
-        for seq in SEQS:
+        for seq in wave_seqs:
             for loop in range(n_loops):
                 jobs.append({"seq": seq, "lmbda": AUX_LMBDA, "loop": loop,
                              "uid": uid})
