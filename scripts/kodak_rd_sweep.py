@@ -127,26 +127,56 @@ SEG_ITERS = 2000  # max gradient iterations per TPU call (healthy chip)
 CKPT_EVERY = 4  # checkpoint the batch state every N segments
 
 
+# "rgb" for kodak/clic20; "yuv420" for jvet (single video frames coded as
+# images, PSNR/loss pixel-weighted 4:1:1 on the subsampled chroma grid —
+# reference README.md:171-173, enc/training/loss.py:53-87).
+FRAME_DTYPE = "rgb"
+
+
 def set_dataset(name: str) -> None:
     """Point the sweep at another published dataset. CLIC20 images are ~2K
     with per-image sizes, so batches shrink to the 4 lambdas of one image
     (same shape) and device calls run one job at a time (a single 2K
-    training program uses about as much HBM as the batch-8 Kodak one)."""
-    global DATASET, REF_BITSTREAMS, WORKDIR, SEQS, BATCH, DEV_CHUNK
+    training program uses about as much HBM as the batch-8 Kodak one).
+    JVET streams are single yuv420 frames (416x240..1920x1080): targets,
+    training loss, bitstreams, and PSNR all switch to the 420-weighted
+    convention via FRAME_DTYPE."""
+    global DATASET, REF_BITSTREAMS, WORKDIR, SEQS, BATCH, DEV_CHUNK, FRAME_DTYPE
     DATASET = name
     root = Path(__file__).resolve().parents[1]
     REF_BITSTREAMS = Path(f"/root/reference/results/image/{name}/bitstreams")
     WORKDIR = root / f"results/image/{name}/tpu_sweep"
+    FRAME_DTYPE = "yuv420" if name == "jvet" else "rgb"
     if name == "kodak":
         SEQS = [f"kodim{i:02d}" for i in range(1, 25)]
         BATCH, DEV_CHUNK = 8, 4
     else:
         suffix = LMBDA_SUFFIX[PROXY_LMBDA]
+        # jvet stream names carry metadata after the lambda tag
+        # (C-PartyScene-lmbda-002_832x480_50p_yuv420_8b.cool); a seq is the
+        # stem with the tag removed, and stream_path() reinserts it.
         SEQS = sorted(
-            f.stem[: -len(f"-lmbda-{suffix}")]
-            for f in REF_BITSTREAMS.glob(f"*-lmbda-{suffix}.cool")
+            f.stem.replace(f"-lmbda-{suffix}", "", 1)
+            for f in REF_BITSTREAMS.glob(f"*-lmbda-{suffix}*.cool")
         )
         BATCH, DEV_CHUNK = 4, 1
+
+def seq_bitdepth(seq: str) -> int:
+    """Output bitdepth per sequence: jvet names carry it (_8b/_10b); the
+    image datasets are 8-bit."""
+    return 10 if "_10b" in seq else 8
+
+
+def stream_name(seq: str, lm: float) -> str:
+    """Bitstream filename for (seq, lambda). kodak/clic append the lambda
+    tag; jvet seqs carry size/fps/format metadata after it
+    (C-PartyScene_832x480_50p_yuv420_8b -> C-PartyScene-lmbda-002_832x...)."""
+    tag = f"-lmbda-{LMBDA_SUFFIX[lm]}"
+    if "_" in seq and DATASET == "jvet":
+        base, meta = seq.split("_", 1)
+        return f"{base}{tag}_{meta}.cool"
+    return f"{seq}{tag}.cool"
+
 
 BUDGETS = {  # (phase1 iters, n_loops) — reference cfg/enc/{fast,medium,slow}.cfg
     "fast": (10_600, 1),
@@ -155,29 +185,56 @@ BUDGETS = {  # (phase1 iters, n_loops) — reference cfg/enc/{fast,medium,slow}.
 }
 
 
+def frame_mse(a: np.ndarray, b: np.ndarray) -> float:
+    """Dataset-convention MSE on [3, H, W] tensors: plain per-pixel for rgb;
+    pixel-weighted 4:1:1 on the 2x2-subsampled chroma grid for yuv420 (the
+    444-expanded chroma planes repeat the decoded subsamples, so the ::2
+    subsample recovers them exactly)."""
+    if FRAME_DTYPE == "yuv420":
+        my = np.mean((a[0] - b[0]) ** 2)
+        mu = np.mean((a[1, ::2, ::2] - b[1, ::2, ::2]) ** 2)
+        mv = np.mean((a[2, ::2, ::2] - b[2, ::2, ::2]) ** 2)
+        return float((4.0 * my + mu + mv) / 6.0)
+    return float(np.mean((a - b) ** 2))
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    return float(-10.0 * np.log10(np.mean((a - b) ** 2) + 1e-12))
+    return float(-10.0 * np.log10(frame_mse(a, b) + 1e-12))
+
+
+def decode_proxy(data: bytes) -> np.ndarray:
+    """Decode a published (or produced) stream to a [3, H, W] float target;
+    yuv420 content rides the video entry point (444-expanded chroma)."""
+    if FRAME_DTYPE == "yuv420":
+        from coolchic_tpu.bitstream import decode_video_bitstream
+
+        frames, _ = decode_video_bitstream(data)
+        return np.asarray(frames[0], np.float32)
+    from coolchic_tpu.bitstream import decode_bitstream
+
+    return np.asarray(
+        decode_bitstream(data, integer_pipeline=True)[0], np.float32
+    )
 
 
 # --------------------------------------------------------------------- targets
 
 
 def cmd_targets(_args) -> None:
-    from coolchic_tpu.bitstream import decode_bitstream
     from coolchic_tpu.eval.bd_rate import write_results_tsv
 
     tdir = WORKDIR / "targets"
     tdir.mkdir(parents=True, exist_ok=True)
     rows = []
     for seq in SEQS:
-        proxy_path = REF_BITSTREAMS / f"{seq}-lmbda-{LMBDA_SUFFIX[PROXY_LMBDA]}.cool"
-        proxy, info = decode_bitstream(proxy_path.read_bytes(), integer_pipeline=True)
+        proxy_path = REF_BITSTREAMS / stream_name(seq, PROXY_LMBDA)
+        proxy = decode_proxy(proxy_path.read_bytes())
         np.save(tdir / f"{seq}.npy", proxy.astype(np.float32))
-        h, w = info["gop_header"].img_size
+        h, w = proxy.shape[1:]
         for lm in SWEEP_LAMBDAS:
-            p = REF_BITSTREAMS / f"{seq}-lmbda-{LMBDA_SUFFIX[lm]}.cool"
+            p = REF_BITSTREAMS / stream_name(seq, lm)
             data = p.read_bytes()
-            img, _ = decode_bitstream(data, integer_pipeline=True)
+            img = decode_proxy(data)
             rows.append(
                 {
                     "seq_name": seq,
@@ -439,7 +496,8 @@ def cmd_encode(args) -> None:
             continue
         h, w = batch["size"]
         arch = _batch_arch(bdir, spath.exists(), batch.get("arch"))
-        cfg = CoolChicConfig(img_size=(int(h), int(w)), **arch)
+        cfg = CoolChicConfig(img_size=(int(h), int(w)),
+                             frame_data_type=FRAME_DTYPE, **arch)
         jobs = batch["jobs"]
         targets = np.stack([np.load(tdir / f"{j['seq']}.npy") for j in jobs])
         lmbdas = np.asarray([j["lmbda"] for j in jobs], np.float32)
@@ -833,7 +891,7 @@ def cmd_finalize(args) -> None:
     # git; per-batch pickles do not) so re-finalizing after a machine reset
     # merges new batches instead of dropping completed sequences.
     for (seq, lm), r in _done_rows(args.budget).items():
-        bs_path = bsdir / f"{seq}-lmbda-{LMBDA_SUFFIX[lm]}.cool"
+        bs_path = bsdir / stream_name(seq, lm)
         if not bs_path.exists():
             continue
         best[(seq, lm)] = {**r, "seq_name": seq, "_bs": bs_path.read_bytes()}
@@ -849,7 +907,8 @@ def cmd_finalize(args) -> None:
         bdir = _batch_paths(bi, args.budget)[0]
         apath = bdir / "arch.json"
         arch = json.loads(apath.read_text()) if apath.exists() else {}
-        cfg = CoolChicConfig(img_size=tuple(final["cfg_size"]), **arch)
+        cfg = CoolChicConfig(img_size=tuple(final["cfg_size"]),
+                             frame_data_type=FRAME_DTYPE, **arch)
         for j, job in enumerate(final["jobs"]):
             if job.get("pad"):
                 continue
@@ -866,13 +925,17 @@ def cmd_finalize(args) -> None:
                 m: {"weight": int(i.expgol_w), "bias": int(i.expgol_b)}
                 for m, i in infos_j.items()
             }
-            bs = encode_image_bitstream(params_j, cfg, nn_q_step, nn_expgol)
-            img, _ = decode_bitstream(bs, integer_pipeline=True)
+            bs = encode_image_bitstream(
+                params_j, cfg, nn_q_step, nn_expgol,
+                bitdepth=seq_bitdepth(job["seq"]),
+                frame_data_type=FRAME_DTYPE,
+            )
+            img = decode_proxy(bs)
             proxy = np.load(tdir / f"{job['seq']}.npy")
             p = psnr(img, proxy)
             bpp = len(bs) * 8 / cfg.n_pixels
             lmbda = job["lmbda"]
-            rd = float(np.mean((img - proxy) ** 2)) + lmbda * bpp
+            rd = frame_mse(img, proxy) + lmbda * bpp
             key = (job["seq"], lmbda)
             if key not in best or rd < best[key]["rd_cost"]:
                 best[key] = {
@@ -890,7 +953,7 @@ def cmd_finalize(args) -> None:
     suffix = "" if args.budget == "fast" else f"_{args.budget}"
     rows = []
     for (seq, lm), row in sorted(best.items()):
-        (bsdir / f"{seq}-lmbda-{LMBDA_SUFFIX[lm]}.cool").write_bytes(row.pop("_bs"))
+        (bsdir / stream_name(seq, lm)).write_bytes(row.pop("_bs"))
         rows.append(row)
     write_results_tsv(rows, WORKDIR / f"results{suffix}.tsv")
     _finalized_path(args.budget).write_text(json.dumps(sorted(finalized)))
