@@ -18,6 +18,7 @@
 #include <atomic>
 #include <chrono>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -318,19 +319,51 @@ int decode_frame_payload(const uint8_t* data, size_t len, size_t& ptr,
   }
   latents.resize(total);
   {
+    // Each grid is an independent CABAC stream with its own byte range, so
+    // grids can decode concurrently (CCZ_ARM_THREADS > 1; default serial).
+    // The raster-order dependency is only WITHIN a grid. Speedup is capped
+    // by the largest grid; the within-stream lever the reference lacks.
+    static const int arm_threads = [] {
+      const char* e = getenv("CCZ_ARM_THREADS");
+      const int v = e ? atoi(e) : 1;
+      return v > 0 ? v : 1;
+    }();
+    struct GridTask {
+      const uint8_t* p;
+      int n, h, w;
+      int32_t* lp;
+    };
+    std::vector<GridTask> tasks(fh.latent_n_grids);
     int32_t* lp = latents.data();
     for (int g = 0; g < fh.latent_n_grids; g++) {
       int n = fh.n_bytes_per_latent[g];
       if (ptr + n > len) return -5;
-      if (n == 0) {
-        std::memset(lp, 0, sizeof(int32_t) * heights[g] * widths[g]);
-      } else {
-        ccz_decode_arm_latent_layer(data + ptr, n, arm_w.data(), arm_b.data(),
-                                    C, NH, ctx_dy, ctx_dx, heights[g],
-                                    widths[g], fh.hls_sig_blksize, lp);
-      }
+      tasks[g] = {data + ptr, n, heights[g], widths[g], lp};
       ptr += n;
       lp += (size_t)heights[g] * widths[g];
+    }
+    auto run_task = [&](const GridTask& t) {
+      if (t.n == 0) {
+        std::memset(t.lp, 0, sizeof(int32_t) * t.h * t.w);
+      } else {
+        ccz_decode_arm_latent_layer(t.p, t.n, arm_w.data(), arm_b.data(), C,
+                                    NH, ctx_dy, ctx_dx, t.h, t.w,
+                                    fh.hls_sig_blksize, t.lp);
+      }
+    };
+    if (arm_threads <= 1 || fh.latent_n_grids <= 1) {
+      for (const auto& t : tasks) run_task(t);
+    } else {
+      // Grid 0 dominates (~3/4 of the pixels): give it its own thread and
+      // round-robin the tail grids over the rest of the pool.
+      const int pool = std::min(arm_threads, fh.latent_n_grids);
+      std::vector<std::thread> th;
+      th.reserve(pool);
+      for (int k = 0; k < pool; k++)
+        th.emplace_back([&, k] {
+          for (int g = k; g < fh.latent_n_grids; g += pool) run_task(tasks[g]);
+        });
+      for (auto& t : th) t.join();
     }
   }
   times.arm += secs_since(t0);

@@ -90,6 +90,37 @@ def test_decode_cli_directory_mode(tmp_path):
 
 
 @pytest.mark.skipif(not KODAK, reason="published kodak bitstreams unavailable")
+def test_grid_parallel_arm_decode_bit_identical():
+    """CCZ_ARM_THREADS>1 decodes a stream's latent grids concurrently
+    (independent CABAC byte ranges); output must equal serial decode.
+    The flag is read once per process, so each side runs in a fresh
+    subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np, hashlib\n"
+        "from coolchic_tpu.bitstream.decode import decode_bitstream\n"
+        "h = hashlib.sha256()\n"
+        f"for p in {KODAK[:3]!r}:\n"
+        "    img, _ = decode_bitstream(open(p, 'rb').read(), integer_pipeline=True)\n"
+        "    h.update(np.round(img * 255).astype(np.int32).tobytes())\n"
+        "print(h.hexdigest())\n"
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo:/root/.axon_site")
+    outs = []
+    for threads in ("1", "4"):
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=300, env=dict(env, CCZ_ARM_THREADS=threads),
+        )
+        assert p.returncode == 0, p.stderr[-500:]
+        outs.append(p.stdout)
+    assert outs[0] == outs[1]
+
+
+@pytest.mark.skipif(not KODAK, reason="published kodak bitstreams unavailable")
 def test_ccdec_exe_multi_input(tmp_path):
     """The standalone ccdec decodes repeated -i/-o pairs on a pool; each
     output must be byte-identical to its single-stream decode."""
