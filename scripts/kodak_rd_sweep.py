@@ -876,7 +876,17 @@ def cmd_run(args) -> None:
 
 
 def cmd_finalize(args) -> None:
+    # Finalize is host-side work (tree slicing, C-decoder round-trips,
+    # numpy PSNR) — force the CPU backend so it never attaches the shared
+    # TPU tunnel and can safely run WHILE an encode worker holds the chip
+    # (the supervisor folds completed batches in periodically).
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=1"
+    )
     import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     from coolchic_tpu.bitstream import decode_bitstream, encode_image_bitstream
     from coolchic_tpu.eval.bd_rate import bd_rate, parse_result_summary, write_results_tsv

@@ -47,8 +47,18 @@ def supervise_stage(budget: str, dataset: str, max_attempts: int, env: dict) -> 
     base = [sys.executable, str(SWEEP)]
     tail = ["--budget", budget, "--dataset", dataset]
     for generation in range(20):
+        waited = 0
         while _sweep_pids():
             time.sleep(60)
+            waited += 60
+            if waited % 2700 == 0:
+                # Periodic fold-in while the sweep runs: finalize is
+                # CPU-forced (never attaches the TPU tunnel), so completed
+                # batches reach the results tsv/bitstreams even if the
+                # round ends mid-wave.
+                print(f"[supervisor] periodic finalize ({waited}s)", flush=True)
+                subprocess.run(base + ["finalize"] + tail, env=env, cwd=REPO,
+                               timeout=7200)
         time.sleep(30)  # grace for fd flushes / tunnel teardown
         print(f"[supervisor] {budget}:{dataset} gen {generation}: idle; finalizing",
               flush=True)
