@@ -294,9 +294,12 @@ def frame_forward(
         training=training,
         valid_hw=valid_hw,
     )
+    max_dynamic = 2.0**bitdepth - 1.0
     if cfg.frame_type == "I":
         decoded = raw_out
-    else:
+        if not training:
+            decoded = jnp.round(decoded * max_dynamic) / max_dynamic
+    elif training:
         from coolchic_tpu.video.intercoding import inter_predict
 
         assert refs is not None and len(refs) >= 1, (
@@ -306,9 +309,35 @@ def frame_forward(
             raw_out, refs[0], refs[1] if cfg.frame_type == "B" else None,
             cfg.flow_gain,
         )
-    if not training:
-        max_dynamic = 2.0**bitdepth - 1.0
-        decoded = jnp.round(decoded * max_dynamic) / max_dynamic
+    else:
+        # Eval-mode P/B: run the DECODER's fixed-point motion compensation
+        # (video/intercoding.py inter_predict_int) on 12-frac integers so
+        # the estimate matches what the bitstream decodes to — the float
+        # warp drifts ~0.4 dB from the integer pipeline on barely-trained
+        # flow fields. Refs go through the decoder's storage round-trip
+        # ((round(ref*max_dyn) << 12) // max_dyn, cpp ccz_decode_video),
+        # and the output through its bitdepth quantization.
+        from coolchic_tpu.video.intercoding import inter_predict_int
+
+        assert refs is not None and len(refs) >= 1, (
+            f"{cfg.frame_type} frame forward needs reference frame(s)"
+        )
+        md = jnp.int32(round(max_dynamic))
+
+        def store12(ref):
+            vq = jnp.round(ref * max_dynamic).astype(jnp.int32)
+            return (vq << 12) // md
+
+        raw12 = jnp.round(raw_out * 4096.0).astype(jnp.int32)
+        out12 = inter_predict_int(
+            raw12,
+            store12(refs[0]),
+            store12(refs[1]) if cfg.frame_type == "B" else None,
+            cfg.flow_gain,
+        )
+        # (f444 * max_dyn + HALF) >> PREC, clamped (ccz_decode_video)
+        vq = jnp.clip((out12 * md + 2048) >> 12, 0, md)
+        decoded = vq.astype(raw_out.dtype) / max_dynamic
     decoded = jnp.clip(decoded, 0.0, 1.0)
     return decoded, rate, extras
 

@@ -151,16 +151,28 @@ class VideoEncoder:
             result, infos = best
             manager.total_training_time_sec = time.time() - frame_start_time
 
-            # Reconstruct the frame exactly as a decoder would see it (the
-            # reference for any dependent frame).
-            from coolchic_tpu.models.coolchic import frame_forward
-            from coolchic_tpu.train.step import split_target
+            # Reconstruct the frame EXACTLY as a decoder will see it (the
+            # reference for any dependent frame): write the frame's real
+            # bitstream and decode it through the integer pipeline against
+            # integer-stored references. The reference encoder re-infers
+            # references in float (video.py:450-507 get_ref_data), which
+            # drifts from its own decoder; the bitstream round-trip here
+            # is drift-free by construction. Falls back to the float eval
+            # forward when the preset skipped NN quantization (no
+            # decodable bitstream exists yet).
+            if infos is not None:
+                decoded = self._integer_reconstruct(
+                    result.params, infos, frame, cfg_f
+                )
+            else:
+                from coolchic_tpu.models.coolchic import frame_forward
+                from coolchic_tpu.train.step import split_target
 
-            _, ref_tuple = split_target(cfg_f, target)
-            decoded, _, _ = frame_forward(
-                jax.tree.map(jnp.asarray, result.params), cfg_f,
-                training=False, bitdepth=self.bitdepth, refs=ref_tuple,
-            )
+                _, ref_tuple = split_target(cfg_f, target)
+                decoded, _, _ = frame_forward(
+                    jax.tree.map(jnp.asarray, result.params), cfg_f,
+                    training=False, bitdepth=self.bitdepth, refs=ref_tuple,
+                )
 
             self.all_frame_encoders[str(idx_coding_order)] = EncodedFrame(
                 params=jax.tree.map(np.asarray, result.params),
@@ -206,6 +218,83 @@ class VideoEncoder:
             )
             refs.append(jnp.asarray(enc.decoded))
         return refs
+
+    # ------------------------------------------------------------------ #
+    def _integer_reconstruct(self, params, infos, frame, cfg_f) -> np.ndarray:
+        """Decode this frame's real bitstream through the integer pipeline
+        (mirrors bitstream/decode.py decode_video_bitstream's frame loop:
+        12-frac synthesis decode, fixed-point warp against integer-stored
+        references, output bitdepth quantization, 420 chroma expansion).
+        Returns the float [3, H, W] frame a decoder will reconstruct."""
+        from coolchic_tpu.bitstream.decode import _decode_frame_raw12
+        from coolchic_tpu.bitstream.header import GopHeader as BsGopHeader
+        from coolchic_tpu.bitstream.inter import HALF, PREC, process_inter_int
+
+        nn_q_step = {
+            m: {"weight": float(i.q_step_w), "bias": float(i.q_step_b)}
+            for m, i in infos.items()
+        }
+        nn_expgol = {
+            m: {"weight": int(i.expgol_w), "bias": int(i.expgol_b)}
+            for m, i in infos.items()
+        }
+        frame_bytes, _, _ = encode_frame_bitstream(
+            jax.tree.map(jnp.asarray, params),
+            cfg_f,
+            nn_q_step,
+            nn_expgol,
+            display_index=frame.display_order,
+            flow_gain=0 if frame.frame_type == "I" else cfg_f.flow_gain,
+        )
+        gop = BsGopHeader(
+            img_size=self.cfg.img_size,
+            frame_data_type=self.frame_data_type,
+            bitdepth=self.bitdepth,
+            intra_period=self.coding_structure.intra_period,
+            p_period=self.coding_structure.p_period,
+        )
+        raw12, finfo, _ = _decode_frame_raw12(bytes(frame_bytes), 0, gop)
+        max_dyn = (1 << self.bitdepth) - 1
+
+        c = raw12.shape[0]
+        if c == 3:
+            f444 = raw12[:3]
+        else:
+            # Integer-stored references, rebuilt exactly from the decoded
+            # frames ((round(dec*max_dyn) << PREC) // max_dyn — the
+            # decoder's storage round-trip); nearest-display search like
+            # the decoder's frame loop.
+            stored: Dict[int, np.ndarray] = {}
+            for k, enc in self.all_frame_encoders.items():
+                fr = self.coding_structure.get_frame_from_coding_order(int(k))
+                vq = np.round(
+                    np.asarray(enc.decoded, np.float64) * max_dyn
+                ).astype(np.int64)
+                stored[fr.display_order] = (vq << PREC) // max_dyn
+            disp = frame.display_order
+            ref_prev = next(
+                (stored[i] for i in range(disp - 1, -1, -1) if i in stored),
+                None,
+            )
+            ref_next = None
+            if c == 9:
+                ref_next = next(
+                    (stored[i]
+                     for i in range(disp + 1, gop.intra_period + 1)
+                     if i in stored),
+                    None,
+                )
+            fh = finfo["frame_header"]
+            f444 = process_inter_int(raw12, ref_prev, ref_next, fh.flow_gain)
+
+        vq = np.clip(
+            (f444.astype(np.int64) * max_dyn + HALF) >> PREC, 0, max_dyn
+        )
+        if self.frame_data_type == "yuv420":
+            u = np.repeat(np.repeat(vq[1, ::2, ::2], 2, 0), 2, 1)
+            v = np.repeat(np.repeat(vq[2, ::2, ::2], 2, 0), 2, 1)
+            vq = np.stack([vq[0], u, v])
+        return (vq.astype(np.float32) / np.float32(max_dyn))
 
     # ------------------------------------------------------------------ #
     def to_bitstream(self, hls_sig_blksize: int = 16) -> bytes:

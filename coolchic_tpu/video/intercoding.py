@@ -117,3 +117,84 @@ def inter_predict(
     p0 = warp_decoder_style(ref0, raw_out[3:5] * flow_gain) * beta
     p1 = warp_decoder_style(ref1, raw_out[6:8] * flow_gain) * (1.0 - beta)
     return (p0 + p1) * alpha + raw_out[:3]
+
+
+# --------------------------------------------------------------------------- #
+# Integer-exact eval twin: the decoder's fixed-point motion compensation
+# (bitstream/inter.py process_inter_int / cpp ccz_warp+ccz_bpred) in jnp,
+# so the ENCODER's eval-mode P/B estimate matches what the bitstream will
+# actually decode to. The float path above stays the training forward
+# (differentiable); this one is eval-only (int32 arithmetic, no gradient).
+# --------------------------------------------------------------------------- #
+
+_PREC = 12  # SYN_LAYER_PRECISION (bitstream/inter.py PREC)
+_ONE = 1 << _PREC
+_HALF = 1 << (_PREC - 1)
+
+
+def _gain_int(raw_ch: jax.Array, invert: bool) -> jax.Array:
+    g = jnp.clip(raw_ch + _HALF, 0, _ONE)
+    return (_ONE - g) if invert else g
+
+
+def _warp_int_jax(ref: jax.Array, raw: jax.Array, xy_idx: int, gain_idx: int,
+                  flow_gain: int, add_residue: bool,
+                  invert_gain: bool = False) -> jax.Array:
+    """jnp twin of bitstream/inter.py warp_int (int32; flows clamped to
+    keep every intermediate in range — the decoder's int32 envelope)."""
+    _, h, w = ref.shape
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                          jnp.arange(w, dtype=jnp.int32), indexing="ij")
+    fl = jnp.clip(raw[xy_idx : xy_idx + 2], -(1 << 22), 1 << 22)
+    px = fl[0] * flow_gain + (xx << _PREC)
+    py = fl[1] * flow_gain + (yy << _PREC)
+
+    def floor_axis(p, n):
+        b0 = jnp.where(p < 0, (p - (_ONE - 1)) >> _PREC, p >> _PREC)
+        d = p - (b0 << _PREC)
+        low = b0 < 0
+        high = b0 >= n - 1
+        b0 = jnp.clip(b0, 0, n - 1)
+        b1 = jnp.where(low | high, b0, b0 + 1)
+        d = jnp.where(low | high, 0, d)
+        return b0, b1, d
+
+    bx0, bx1, dx = floor_axis(px, w)
+    by0, by1, dy = floor_axis(py, h)
+    gain = _gain_int(raw[gain_idx], invert_gain)
+
+    a = ref[:, by0, bx0]
+    b = ref[:, by0, bx1]
+    cc = ref[:, by1, bx0]
+    d = ref[:, by1, bx1]
+    h0 = a + (((b - a) * dx) >> _PREC)
+    h1 = cc + (((d - cc) * dx) >> _PREC)
+    v = ((h1 - h0) * dy) >> _PREC
+    out = ((h0 + v) * gain) >> _PREC
+    if add_residue:
+        out = out + raw[:3]
+    return out
+
+
+def inter_predict_int(
+    raw12: jax.Array,
+    ref0_12: jax.Array,
+    ref1_12: jax.Array | None,
+    flow_gain: int,
+) -> jax.Array:
+    """Integer inter reconstruction (jnp twin of
+    bitstream/inter.py process_inter_int; reference:
+    cpp/ccdecapi.cpp:649-671). ``raw12`` is the [6|9, H, W] synthesis
+    output and refs the stored references, all int32 at 12 frac bits."""
+    c = raw12.shape[0]
+    if c == 6:
+        return _warp_int_jax(ref0_12, raw12, xy_idx=3, gain_idx=5,
+                             flow_gain=flow_gain, add_residue=True)
+    assert c == 9 and ref1_12 is not None
+    p0 = _warp_int_jax(ref0_12, raw12, xy_idx=3, gain_idx=8,
+                       flow_gain=flow_gain, add_residue=False)
+    p1 = _warp_int_jax(ref1_12, raw12, xy_idx=6, gain_idx=8,
+                       flow_gain=flow_gain, add_residue=False,
+                       invert_gain=True)
+    gain = _gain_int(raw12[5], invert=False)
+    return (((p0 + p1) * gain) >> _PREC) + raw12[:3]

@@ -140,16 +140,20 @@ def test_video_encoder_two_frames(tmp_path):
     assert len(frames) == 2
     for dec, orig, key in zip(frames, [f0, f1], ["0", "1"]):
         psnr_dec = -10 * np.log10(np.mean((dec - orig) ** 2) + 1e-10)
-        # Decoded PSNR matches the encoder-side (float) estimate. The
-        # reference sanity margin is 0.1 dB (test/sanity_check.py:108-115)
-        # for fully trained models; this 10-iteration micro-model through
-        # the fixed-point integer video pipeline drifts marginally more,
-        # and the P frame drifts most: its estimate uses FLOAT warp +
-        # float reference storage where the decoder warps in fixed point
-        # over integer-stored references, and a barely-trained motion
-        # field amplifies that quantization difference (measured ~0.4 dB
-        # on this box; the C and python integer decoders agree exactly,
-        # so the decode itself is consistent — the drift is all on the
-        # encoder-estimate side and shrinks with real training budgets).
-        margin = 0.2 if key == "0" else 0.6
+        # Decoded PSNR matches the encoder-side estimate. The reference
+        # sanity margin is 0.1 dB (test/sanity_check.py:108-115) for fully
+        # trained models; this 10-iteration micro-model drifts marginally
+        # more. P frames carry a little extra: the encoder's references
+        # are bit-exact decoder output (VideoEncoder._integer_reconstruct
+        # round-trips the real bitstream) and eval-mode warping runs the
+        # decoder's fixed-point math (inter_predict_int), so the remaining
+        # drift is only the float-vs-integer synthesis of the 12-frac raw
+        # output on a barely-trained model (~0.19 dB here).
+        margin = 0.2 if key == "0" else 0.3
         assert abs(psnr_dec - loaded.all_frame_encoders[key].psnr_db) < margin
+    # The stored per-frame reconstruction IS the decoder output, exactly.
+    for k, dec in zip(["0", "1"], frames):
+        assert np.array_equal(
+            np.round(dec * 255),
+            np.round(loaded.all_frame_encoders[k].decoded * 255),
+        )
