@@ -87,6 +87,11 @@ def main() -> None:
     ap.add_argument("--max_attempts", type=int, default=400)
     args = ap.parse_args()
 
+    # bench.py's pre-measurement teardown kills the supervisor through this
+    # pidfile (never by pattern); write it ourselves so no launcher can
+    # forget it.
+    Path("/tmp/sweep_supervisor.pid").write_text(str(os.getpid()))
+
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
