@@ -471,9 +471,11 @@ def cmd_encode(args) -> None:
     seed = args.seed
     _, seg_iters = _chip_seg_iters()
 
-    # Processing order: each aux lop batch runs right after the last main
-    # batch of the sequences it complements (so finished images get their
-    # best-of-both lambda=2e-2 point early), not after the whole main plan.
+    # Processing order: every pending MAIN batch first (full 4-lambda
+    # curves are worth more than improving an already-covered low-rate
+    # point — n_sequences coverage beats per-point polish if the machine
+    # dies mid-sweep), then the aux/candidate-wave batches, each ordered
+    # right after the last main batch of the sequences it complements.
     seq_main = {}
     for i, b in enumerate(batches):
         if "arch" not in b:
@@ -484,7 +486,8 @@ def cmd_encode(args) -> None:
         b = batches[i]
         if "arch" not in b:
             return float(i)
-        return max(seq_main.get(j["seq"], 0) for j in b["jobs"]) + 0.5
+        return (len(batches)
+                + max(seq_main.get(j["seq"], 0) for j in b["jobs"]) + 0.5)
 
     finalized = _finalized_set(args.budget)
     for bi in sorted(range(len(batches)), key=_prio):
