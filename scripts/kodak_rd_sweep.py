@@ -351,6 +351,30 @@ def job_list(budget: str):
 # --------------------------------------------------------------------- encode
 
 
+def batch_order(batches) -> list:
+    """Processing order: every MAIN batch first in plan order (full
+    4-lambda curves are worth more than improving an already-covered
+    low-rate point — n_sequences coverage beats per-point polish if the
+    machine dies mid-sweep), then the aux/candidate-wave batches, each
+    ordered right after the last main batch of the sequences it
+    complements (so earlier-finished images get their best-of-both
+    low-rate point re-searched first)."""
+    seq_main = {}
+    for i, b in enumerate(batches):
+        if "arch" not in b:
+            for j in b["jobs"]:
+                seq_main.setdefault(j["seq"], i)
+
+    def _prio(i):
+        b = batches[i]
+        if "arch" not in b:
+            return float(i)
+        return (len(batches)
+                + max(seq_main.get(j["seq"], 0) for j in b["jobs"]) + 0.5)
+
+    return sorted(range(len(batches)), key=_prio)
+
+
 def _budget_dir(budget: str, kind: str) -> Path:
     """Per-budget state/output dirs; the fast budget keeps the legacy
     unsuffixed names so round-2 results stay valid."""
@@ -471,26 +495,8 @@ def cmd_encode(args) -> None:
     seed = args.seed
     _, seg_iters = _chip_seg_iters()
 
-    # Processing order: every pending MAIN batch first (full 4-lambda
-    # curves are worth more than improving an already-covered low-rate
-    # point — n_sequences coverage beats per-point polish if the machine
-    # dies mid-sweep), then the aux/candidate-wave batches, each ordered
-    # right after the last main batch of the sequences it complements.
-    seq_main = {}
-    for i, b in enumerate(batches):
-        if "arch" not in b:
-            for j in b["jobs"]:
-                seq_main.setdefault(j["seq"], i)
-
-    def _prio(i):
-        b = batches[i]
-        if "arch" not in b:
-            return float(i)
-        return (len(batches)
-                + max(seq_main.get(j["seq"], 0) for j in b["jobs"]) + 0.5)
-
     finalized = _finalized_set(args.budget)
-    for bi in sorted(range(len(batches)), key=_prio):
+    for bi in batch_order(batches):
         batch = batches[bi]
         if args.batch is not None and bi != args.batch:
             continue

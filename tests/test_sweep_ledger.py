@@ -62,6 +62,23 @@ def test_done_rows_reads_finalized_tsv(sweep, tmp_path):
     assert sweep._done_rows("slow") == {}
 
 
+def test_batch_order_mains_before_waves(sweep):
+    """All main batches run before any aux/candidate-wave batch, and the
+    waves keep their complement ordering among themselves."""
+    batches = [
+        {"size": (8, 8), "jobs": [{"seq": "a"}]},                      # main 0
+        {"size": (8, 8), "jobs": [{"seq": "b"}]},                      # main 1
+        {"size": (8, 8), "jobs": [{"seq": "a"}], "arch": {"x": 1}},    # wave 2
+        {"size": (8, 8), "jobs": [{"seq": "c"}]},                      # main 3
+        {"size": (8, 8), "jobs": [{"seq": "c"}], "arch": {"x": 1}},    # wave 4
+    ]
+    order = sweep.batch_order(batches)
+    assert order == [0, 1, 3, 2, 4]  # mains in plan order, then waves
+    # wave for the later-planned seq (c, main 3) sorts after the wave
+    # complementing the earlier main (a, main 0)
+    assert order.index(2) < order.index(4)
+
+
 def test_done_rows_survives_float_formatting(sweep, tmp_path):
     """Finalize rewrites the tsv through float() parsing — keys must keep
     matching after a round-trip that turns 393216 into 393216.0."""
