@@ -351,14 +351,17 @@ def job_list(budget: str):
 # --------------------------------------------------------------------- encode
 
 
-def batch_order(batches) -> list:
+def batch_order(batches, wave_value: dict | None = None) -> list:
     """Processing order: every MAIN batch first in plan order (full
     4-lambda curves are worth more than improving an already-covered
     low-rate point — n_sequences coverage beats per-point polish if the
-    machine dies mid-sweep), then the aux/candidate-wave batches, each
-    ordered right after the last main batch of the sequences it
-    complements (so earlier-finished images get their best-of-both
-    low-rate point re-searched first)."""
+    machine dies mid-sweep), then the aux/candidate-wave batches.
+
+    Wave order: by descending ``wave_value`` (e.g. the measured rate
+    deficit of the sequences a wave re-searches — when only some waves
+    can finish before the machine goes away, the biggest wins must land
+    first), tie-broken by the last main batch of the sequences the wave
+    complements."""
     seq_main = {}
     for i, b in enumerate(batches):
         if "arch" not in b:
@@ -368,11 +371,43 @@ def batch_order(batches) -> list:
     def _prio(i):
         b = batches[i]
         if "arch" not in b:
-            return float(i)
-        return (len(batches)
-                + max(seq_main.get(j["seq"], 0) for j in b["jobs"]) + 0.5)
+            return (0, 0.0, float(i))
+        complement = max(seq_main.get(j["seq"], 0) for j in b["jobs"]) + 0.5
+        value = (wave_value or {}).get(i, 0.0)
+        return (1, -value, complement)
 
     return sorted(range(len(batches)), key=_prio)
+
+
+def wave_values(batches, budget: str) -> dict:
+    """Aux-batch index -> measured rate deficit (ours/ref - 1, in %) at
+    the wave's lambda, maxed over the wave's sequences. Sequences without
+    a finalized row (or reference point) contribute 0 — the wave still
+    runs, just not first."""
+    from coolchic_tpu.eval.bd_rate import parse_result_summary
+
+    ref_tsv = WORKDIR / "ref_vs_proxy.tsv"
+    if not ref_tsv.exists():
+        return {}
+    ref_rate = {}
+    for seq, rows in parse_result_summary(ref_tsv).items():
+        for r in rows:
+            ref_rate[(seq, float(r["lmbda"]))] = float(r["rate_bpp"])
+    done = _done_rows(budget)
+
+    out = {}
+    for i, b in enumerate(batches):
+        if "arch" not in b:
+            continue
+        val = 0.0
+        for j in b["jobs"]:
+            key = (j["seq"], float(j["lmbda"]))
+            if key in done and key in ref_rate and ref_rate[key] > 0:
+                val = max(val,
+                          (float(done[key]["rate_bpp"]) / ref_rate[key] - 1)
+                          * 100.0)
+        out[i] = val
+    return out
 
 
 def _budget_dir(budget: str, kind: str) -> Path:
@@ -496,7 +531,7 @@ def cmd_encode(args) -> None:
     _, seg_iters = _chip_seg_iters()
 
     finalized = _finalized_set(args.budget)
-    for bi in batch_order(batches):
+    for bi in batch_order(batches, wave_values(batches, args.budget)):
         batch = batches[bi]
         if args.batch is not None and bi != args.batch:
             continue

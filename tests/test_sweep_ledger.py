@@ -79,6 +79,49 @@ def test_batch_order_mains_before_waves(sweep):
     assert order.index(2) < order.index(4)
 
 
+def test_batch_order_waves_by_deficit(sweep):
+    """Waves with a bigger measured rate deficit run first; mains always
+    precede every wave regardless of value."""
+    batches = [
+        {"size": (8, 8), "jobs": [{"seq": "a"}]},                      # main 0
+        {"size": (8, 8), "jobs": [{"seq": "a"}], "arch": {"x": 1}},    # wave 1
+        {"size": (8, 8), "jobs": [{"seq": "b"}], "arch": {"x": 1}},    # wave 2
+        {"size": (8, 8), "jobs": [{"seq": "b"}]},                      # main 3
+    ]
+    order = sweep.batch_order(batches, {1: 2.0, 2: 15.0})
+    assert order == [0, 3, 2, 1]
+
+
+def test_wave_values_from_finalized_rows(sweep, tmp_path):
+    rows = [
+        {"seq_name": "a", "lmbda": 0.02, "rate_bpp": 0.12,
+         "n_pixels": 64, "psnr_db": 30.0, "rd_cost": 0.1, "loop": 0},
+        {"seq_name": "b", "lmbda": 0.02, "rate_bpp": 0.10,
+         "n_pixels": 64, "psnr_db": 30.0, "rd_cost": 0.1, "loop": 0},
+    ]
+    _write_tsv(sweep, tmp_path, "medium", rows)
+    from coolchic_tpu.eval.bd_rate import write_results_tsv
+    write_results_tsv(
+        [{"seq_name": "a", "lmbda": 0.02, "rate_bpp": 0.10,
+          "n_pixels": 64, "psnr_db": 30.0},
+         {"seq_name": "b", "lmbda": 0.02, "rate_bpp": 0.10,
+          "n_pixels": 64, "psnr_db": 30.0}],
+        tmp_path / "ref_vs_proxy.tsv")
+    batches = [
+        {"size": (8, 8), "jobs": [{"seq": "a", "lmbda": 0.02}],
+         "arch": {"x": 1}},
+        {"size": (8, 8), "jobs": [{"seq": "b", "lmbda": 0.02}],
+         "arch": {"x": 1}},
+        {"size": (8, 8), "jobs": [{"seq": "c", "lmbda": 0.02}],
+         "arch": {"x": 1}},  # no rows -> value 0, still listed
+    ]
+    vals = sweep.wave_values(batches, "medium")
+    assert vals[0] == pytest.approx(20.0)   # a: 0.12 vs 0.10
+    assert vals[1] == pytest.approx(0.0)    # b: at parity
+    assert vals[2] == 0.0                   # c: unknown
+    assert sweep.batch_order(batches, vals)[0] == 0
+
+
 def test_done_rows_survives_float_formatting(sweep, tmp_path):
     """Finalize rewrites the tsv through float() parsing — keys must keep
     matching after a round-trip that turns 393216 into 393216.0."""
