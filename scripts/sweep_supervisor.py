@@ -43,33 +43,43 @@ def _sweep_pids() -> list[int]:
     return out
 
 
+def _wait_and_finalize(alive, base, tail, env) -> None:
+    """Sleep while ``alive()`` holds, folding completed batches into the
+    results tsv/bitstreams every ~45 min: finalize is CPU-forced (never
+    attaches the TPU tunnel), so it can run alongside the sweep and the
+    durable ledger stays fresh even if the round ends mid-wave."""
+    waited = 0
+    while alive():
+        time.sleep(60)
+        waited += 60
+        if waited % 2700 == 0:
+            print(f"[supervisor] periodic finalize ({waited}s)", flush=True)
+            subprocess.run(base + ["finalize"] + tail, env=env, cwd=REPO,
+                           timeout=7200)
+
+
 def supervise_stage(budget: str, dataset: str, max_attempts: int, env: dict) -> None:
     base = [sys.executable, str(SWEEP)]
     tail = ["--budget", budget, "--dataset", dataset]
     for generation in range(20):
-        waited = 0
-        while _sweep_pids():
-            time.sleep(60)
-            waited += 60
-            if waited % 2700 == 0:
-                # Periodic fold-in while the sweep runs: finalize is
-                # CPU-forced (never attaches the TPU tunnel), so completed
-                # batches reach the results tsv/bitstreams even if the
-                # round ends mid-wave.
-                print(f"[supervisor] periodic finalize ({waited}s)", flush=True)
-                subprocess.run(base + ["finalize"] + tail, env=env, cwd=REPO,
-                               timeout=7200)
+        _wait_and_finalize(lambda: bool(_sweep_pids()), base, tail, env)
         time.sleep(30)  # grace for fd flushes / tunnel teardown
         print(f"[supervisor] {budget}:{dataset} gen {generation}: idle; finalizing",
               flush=True)
         subprocess.run(base + ["finalize"] + tail, env=env, cwd=REPO, timeout=7200)
-        pr = subprocess.run(
-            base + ["run", "--max_attempts", str(max_attempts)] + tail,
-            env=env, cwd=REPO, capture_output=True, text=True,
-        )
-        sys.stdout.write(pr.stdout or "")
+        out_path = Path(f"/tmp/sweep_run_{budget}_{dataset}.log")
+        with open(out_path, "w") as out_f:
+            pr = subprocess.Popen(
+                base + ["run", "--max_attempts", str(max_attempts)] + tail,
+                env=env, cwd=REPO, stdout=out_f, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            # periodic fold-ins while our own launcher generation runs
+            _wait_and_finalize(lambda: pr.poll() is None, base, tail, env)
+        stdout = out_path.read_text()
+        sys.stdout.write(stdout)
         sys.stdout.flush()
-        if "all batches final" in (pr.stdout or ""):
+        if "all batches final" in stdout:
             print(f"[supervisor] {budget}:{dataset} complete; final finalize",
                   flush=True)
             subprocess.run(base + ["finalize"] + tail, env=env, cwd=REPO,
