@@ -1023,11 +1023,38 @@ def cmd_finalize(args) -> None:
                 [r["rate_bpp"] for r in ours[seq]],
                 [r["psnr_db"] for r in ours[seq]],
             )
+    # Encode-effort disclosure: per-(seq, lambda) rows keep the best RD
+    # across every candidate in the job list. Main batches are
+    # budget-matched to the reference (n_loops independent encodes); the
+    # candidate waves add extra decoder-arch candidates at AUX_LMBDA, so
+    # that point is selected over MORE encodes than the reference's
+    # published streams — record the multiplicity so nobody mistakes the
+    # low-rate point for an equal-effort comparison.
+    enc_counts: dict = {}
+    for b in batches:
+        for j in b["jobs"]:
+            if not j.get("pad"):
+                k = (j["seq"], j["lmbda"])
+                enc_counts[k] = enc_counts.get(k, 0) + 1
+    cand_per_lmbda = {}
+    for (seq, lm), n in enc_counts.items():
+        cand_per_lmbda[lm] = max(cand_per_lmbda.get(lm, 0), n)
     summary = {
         "budget": args.budget,
         "n_sequences": len(per_seq),
         "bd_rate_vs_reference_pct_mean": float(np.mean(list(per_seq.values()))),
         "bd_rate_per_seq": {k: round(v, 3) for k, v in sorted(per_seq.items())},
+        "encode_candidates_per_lambda": {
+            f"{lm:g}": n for lm, n in sorted(cand_per_lmbda.items())
+        },
+        "selection": (
+            "best RD per (seq, lambda) over the listed candidate encodes; "
+            "each candidate runs the full per-encode budget. Candidates "
+            "beyond the reference's n_loops exist only at the lambda with "
+            "the largest count above (decoder-architecture search waves: "
+            "lop aux, frozen-zero-grid-0, 16-wide mop) — the other lambdas "
+            "are encode-effort-matched to the reference recipe."
+        ),
         "caveat": (
             "Both curves measured against the published lambda=1e-4 "
             "reconstruction as target (originals unavailable offline). "
