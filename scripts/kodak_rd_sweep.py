@@ -99,6 +99,27 @@ MOP16_ARCH = {
     ),
 }
 
+# Fourth aux variant: vlop (arm 8,1 + 8-wide 3-layer synthesis, reference
+# cfg/dec/vlop.cfg) — the arch the published kodim16-lmbda-002 stream
+# codes. kodim16 is the largest remaining 2e-2 rate deficit (+27.6% after
+# the lop/NOG0 candidates folded): at very low rates even the lop NN bytes
+# dominate, and only a smaller decoder closes it. Restricted to the
+# worst-deficit images (constant list — job_list must stay deterministic)
+# instead of a full 24-seq wave so it costs ~2 batches, not 8.
+VLOP_ARCH = {
+    "dim_arm": 8,
+    "n_hidden_layers_arm": 1,
+    "layers_synthesis": (
+        "8-1-linear-relu",
+        "X-1-linear-none",
+        "X-3-residual-none",
+    ),
+}
+VLOP_WAVE_SEQS = (
+    "kodim16", "kodim03", "kodim02", "kodim18",
+    "kodim09", "kodim04", "kodim17", "kodim23",
+)
+
 
 def _batch_arch(bdir: Path, state_exists: bool, plan_arch: dict = None) -> dict:
     apath = bdir / "arch.json"
@@ -323,10 +344,11 @@ def job_list(budget: str):
                        else len(WAVE_PRIORITY), s),
     )
 
-    def append_wave(arch: dict):
+    def append_wave(arch: dict, seqs=None):
         nonlocal uid
         jobs = []
-        for seq in wave_seqs:
+        for seq in (wave_seqs if seqs is None
+                    else [s for s in wave_seqs if s in seqs]):
             for loop in range(n_loops):
                 jobs.append({"seq": seq, "lmbda": AUX_LMBDA, "loop": loop,
                              "uid": uid})
@@ -345,6 +367,8 @@ def job_list(budget: str):
 
     append_wave(NOG0_ARCH)
     append_wave(MOP16_ARCH)
+    if DATASET == "kodak":  # VLOP_WAVE_SEQS are kodak sequence names
+        append_wave(VLOP_ARCH, seqs=VLOP_WAVE_SEQS)
     return batches
 
 
