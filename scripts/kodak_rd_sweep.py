@@ -203,6 +203,11 @@ BUDGETS = {  # (phase1 iters, n_loops) — reference cfg/enc/{fast,medium,slow}.
     "fast": (10_600, 1),
     "medium": (30_000, 2),
     "slow": (100_000, 3),
+    # CPU-forced tiny-budget smoke of the full per-batch encode pipeline
+    # (targets -> arch -> chunked warmup -> phases -> NN quant -> final.pkl)
+    # for pre-flighting a dataset the supervisor will chain into unattended.
+    # Separate state/results namespace (batches_smoke/); never finalize it.
+    "smoke": (60, 1),
 }
 
 
@@ -537,11 +542,26 @@ def cmd_encode(args) -> None:
         run_phase_rem_block,
     )
 
+    if args.budget == "smoke":
+        # Pre-flight mode: never attach the shared TPU tunnel (a sweep may
+        # be running on it) — CPU is plenty for a tiny-budget pipeline walk.
+        jax.config.update("jax_platforms", "cpu")
+
     n_itr, _ = BUDGETS[args.budget]
     preset = preset_c3x()
     phases = list(preset.all_phases)
     phases[0] = type(phases[0])(**{**phases[0].__dict__, "max_itr": n_itr})
     wp = preset.warmup.phases
+    if args.budget == "smoke":
+        phases = [type(p)(**{**p.__dict__, "max_itr": min(p.max_itr, n_itr),
+                             "freq_valid": min(p.freq_valid, 20)})
+                  for p in phases]
+        wp = (type(wp[0])(
+            candidates=2,
+            training_phase=type(wp[0].training_phase)(
+                **{**wp[0].training_phase.__dict__,
+                   "max_itr": 20, "freq_valid": 20}),
+        ),)
 
     def to_np(t):
         return jax.tree.map(lambda a: np.asarray(a), t)
@@ -552,7 +572,10 @@ def cmd_encode(args) -> None:
     batches = job_list(args.budget)
     tdir = WORKDIR / "targets"
     seed = args.seed
-    _, seg_iters = _chip_seg_iters()
+    if args.budget == "smoke":
+        seg_iters = 600  # no tunnel probe; CPU has no watchdog to dodge
+    else:
+        _, seg_iters = _chip_seg_iters()
 
     finalized = _finalized_set(args.budget)
     for bi in batch_order(batches, wave_values(batches, args.budget)):
@@ -1093,6 +1116,12 @@ def cmd_finalize(args) -> None:
             "inflation_probe/inflation_probe.json)."
         ),
     }
+    if args.budget == "smoke":
+        # Pre-flight only: archive under the smoke suffix and never touch
+        # the canonical judge-visible bd_rate.json.
+        (WORKDIR / "bd_rate_smoke.json").write_text(json.dumps(summary, indent=2))
+        print(json.dumps(summary, indent=2))
+        return
     # canonical judge-visible location + per-budget archive; a partial
     # higher-budget sweep cross-references any completed sibling budgets so
     # the canonical file always shows the full picture.

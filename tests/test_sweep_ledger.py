@@ -131,3 +131,61 @@ def test_done_rows_survives_float_formatting(sweep, tmp_path):
     _write_tsv(sweep, tmp_path, "medium", rows)
     done = sweep._done_rows("medium")
     assert ("kodim05", 4e-4) in done
+
+
+def test_vlop_wave_kodak_only_restricted_and_appended_last(sweep, tmp_path):
+    """The vlop candidate wave exists only for kodak, covers exactly the
+    constant worst-deficit sequence list at the aux lambda, and is
+    appended after every other batch (index/uid stability contract)."""
+    import numpy as np
+
+    tdir = tmp_path / "targets"
+    tdir.mkdir()
+    for i, seq in enumerate(sweep.SEQS):
+        hw = (4, 6) if i % 2 else (6, 4)
+        np.save(tdir / f"{seq}.npy", np.zeros((3, *hw), np.float32))
+
+    batches = sweep.job_list("medium")
+    is_vlop = [
+        b.get("arch", {}).get("n_hidden_layers_arm") == 1 for b in batches
+    ]
+    assert any(is_vlop), "vlop wave missing from the kodak job list"
+    first = is_vlop.index(True)
+    assert all(is_vlop[first:]), "vlop batches must be appended last"
+    vlop_jobs = [
+        j for b, v in zip(batches, is_vlop) if v for j in b["jobs"]
+        if not j.get("pad")
+    ]
+    assert {j["seq"] for j in vlop_jobs} == set(sweep.VLOP_WAVE_SEQS)
+    assert all(j["lmbda"] == sweep.AUX_LMBDA for j in vlop_jobs)
+    uids = [
+        j["uid"] for b in batches for j in b["jobs"] if not j.get("pad")
+    ]
+    assert len(uids) == len(set(uids)), "uids must stay unique (PRNG keys)"
+
+
+def test_vlop_wave_absent_for_other_datasets(sweep):
+    """set_dataset switches SEQS/WORKDIR; the kodak-named vlop wave must
+    not leak into the clic job list (read-only on the real targets)."""
+    sweep.set_dataset("clic20-pro-valid")
+    batches = sweep.job_list("fast")
+    assert not any(
+        b.get("arch", {}).get("n_hidden_layers_arm") == 1 for b in batches
+    )
+
+
+def test_smoke_budget_registered():
+    """The CPU smoke budget exists and is tiny (pre-flight, not a sweep)."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "kodak_rd_sweep_smoke_test",
+        Path(__file__).resolve().parents[1] / "scripts/kodak_rd_sweep.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    iters, loops = mod.BUDGETS["smoke"]
+    assert iters <= 600 and loops == 1
