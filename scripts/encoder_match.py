@@ -13,6 +13,15 @@ identically: real bytes on disk, PSNR of the decoded stream against the
 proxy target (both bitstream formats decode through our C decoder,
 bit-exact to the reference's — tests/test_cross_decoder.py).
 
+Row kinds (structured, machine-readable):
+  - "same_budget": the reference encoder ran HERE at our budget — the
+    real experiment. `same_budget: true`.
+  - "published_calibration" (--calibration): the row's reference side is
+    a PUBLISHED stream (unknown, larger budget) — a calibration point
+    only. `same_budget: false` and the reference block is keyed
+    "reference_published_stream" so nothing reads it as a same-budget
+    result.
+
 Usage (after a /tmp/refenc run completes):
   python scripts/encoder_match.py --seq kodim12 --lmbda 0.004 \
       --budget fast --ref_bitstream /tmp/refenc/run/kodim12_4e-3.cool
@@ -53,6 +62,9 @@ def main() -> None:
     ap.add_argument("--ref_bitstream", type=Path, required=True)
     ap.add_argument("--ref_wall_s", type=float, default=None,
                     help="optional wall-clock of the reference encode")
+    ap.add_argument("--calibration", action="store_true",
+                    help="the reference bitstream is a PUBLISHED stream "
+                         "(unknown larger budget), not a same-budget run")
     ap.add_argument("--note", default="")
     args = ap.parse_args()
 
@@ -80,11 +92,16 @@ def main() -> None:
     rd_ref = mse_ref + args.lmbda * ref["rate_bpp"]
     rd_ours = mse_ours + args.lmbda * float(ours["rate_bpp"])
 
+    kind = "published_calibration" if args.calibration else "same_budget"
+    ref_key = ("reference_published_stream" if args.calibration
+               else "reference_encoder_same_machine_same_target")
     entry = {
         "seq": args.seq,
         "lmbda": args.lmbda,
         "budget": args.budget,
-        "reference_encoder_same_machine_same_target": ref,
+        "kind": kind,
+        "same_budget": not args.calibration,
+        ref_key: ref,
         "our_encoder": {
             "rate_bpp": float(ours["rate_bpp"]),
             "psnr_db_vs_proxy": float(ours["psnr_db"]),
@@ -95,18 +112,21 @@ def main() -> None:
     }
 
     OUT.parent.mkdir(parents=True, exist_ok=True)
-    doc = json.loads(OUT.read_text()) if OUT.exists() else {
-        "what": (
-            "reference encoder run on THIS machine (torch-CPU) on the SAME "
-            "proxy target at the SAME budget as our sweep row; rates are "
-            "real bitstream bytes, PSNRs measured identically vs the proxy"
-        ),
-        "rows": [],
-    }
+    doc = json.loads(OUT.read_text()) if OUT.exists() else {}
+    doc["what"] = (
+        "per-row `kind` decides the claim: same_budget = the reference "
+        "encoder ran on THIS machine (torch-CPU) on the SAME proxy target "
+        "at the SAME budget as our sweep row; published_calibration = the "
+        "reference side is a published stream at an unknown larger budget "
+        "(calibration only, same_budget=false). Rates are real bitstream "
+        "bytes; PSNRs measured identically vs the proxy."
+    )
+    doc.setdefault("rows", [])
     doc["rows"] = [r for r in doc["rows"]
                    if not (r["seq"] == entry["seq"]
                            and r["lmbda"] == entry["lmbda"]
-                           and r["budget"] == entry["budget"])]
+                           and r["budget"] == entry["budget"]
+                           and r.get("kind", "same_budget") == kind)]
     doc["rows"].append(entry)
     OUT.write_text(json.dumps(doc, indent=2))
     print(json.dumps(entry, indent=2))

@@ -1127,7 +1127,7 @@ def cmd_finalize(args) -> None:
     # the canonical file always shows the full picture.
     for sib in sorted(WORKDIR.glob("bd_rate_*.json")):
         sib_budget = sib.stem.replace("bd_rate_", "")
-        if sib_budget == args.budget:
+        if sib_budget == args.budget or sib_budget == "smoke":
             continue
         try:
             s = json.loads(sib.read_text())
