@@ -225,6 +225,8 @@ def main() -> int:
                    default=["kodak", "clic20-pro-valid", "jvet"])
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--no-md", action="store_true")
+    p.add_argument("--per-stream-json", type=Path, default=None,
+                   help="dump every stream's ours/ref totals + stage splits")
     args = p.parse_args()
 
     ours = build_our_decoder()
@@ -233,10 +235,20 @@ def main() -> int:
         print("reference decoder unavailable; timing ours only")
 
     summaries = {}
+    dump = {}
     for name in args.datasets:
         per_stream, summary = run_dataset(name, ours, ref, args.trials)
         summaries[name] = summary
         refresh_tsv(name, per_stream)
+        dump[name] = {
+            stem: {"ours": to, "ref": tr}
+            for stem, (to, tr) in per_stream.items()
+        }
+    if args.per_stream_json:
+        import json
+
+        args.per_stream_json.write_text(json.dumps(dump, indent=1))
+        print(f"wrote {args.per_stream_json}")
     if not args.no_md:
         write_md(summaries)
     return 0
