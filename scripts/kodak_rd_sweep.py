@@ -119,6 +119,10 @@ VLOP_WAVE_SEQS = (
     "kodim16", "kodim03", "kodim02", "kodim18",
     "kodim09", "kodim04", "kodim17", "kodim23",
 )
+# Worst budget-matched medium BD-rate sequences (bd_rate_medium.json:
+# kodim15 +7.69, kodim23 +5.25, kodim12 +5.06, kodim09 +4.23), worst first
+# so a partial slowtail sweep covers the biggest gaps.
+TAIL_SEQS = ("kodim15", "kodim23", "kodim12", "kodim09")
 
 
 def _batch_arch(bdir: Path, state_exists: bool, plan_arch: dict = None) -> dict:
@@ -203,6 +207,12 @@ BUDGETS = {  # (phase1 iters, n_loops) — reference cfg/enc/{fast,medium,slow}.
     "fast": (10_600, 1),
     "medium": (30_000, 2),
     "slow": (100_000, 3),
+    # Budget-hypothesis probe (round-3 verdict): the reference slow recipe
+    # (100k x 3) on ONLY the worst medium-tail sequences. If slow closes
+    # the kodim15/23/12/09 gap, the +2.44% medium tail is training budget,
+    # not optimizer quality. Own state/results namespace (_slowtail);
+    # never touches the canonical bd_rate.json.
+    "slowtail": (100_000, 3),
     # CPU-forced tiny-budget smoke of the full per-batch encode pipeline
     # (targets -> arch -> chunked warmup -> phases -> NN quant -> final.pkl)
     # for pre-flighting a dataset the supervisor will chain into unattended.
@@ -282,8 +292,9 @@ def job_list(budget: str):
     """Expanded (seq, lmbda, loop) jobs with stable uids, grouped into
     fixed-size same-shape batches (the last batch pads by repetition)."""
     _, n_loops = BUDGETS[budget]
+    seqs = TAIL_SEQS if budget == "slowtail" else SEQS
     jobs = []
-    for seq in SEQS:
+    for seq in seqs:
         for lm in SWEEP_LAMBDAS:
             for loop in range(n_loops):
                 jobs.append({"seq": seq, "lmbda": lm, "loop": loop,
@@ -291,7 +302,7 @@ def job_list(budget: str):
     # group by image orientation (portrait kodak images are 768x512 grids)
     sizes = {}
     tdir = WORKDIR / "targets"
-    for seq in SEQS:
+    for seq in seqs:
         arr = np.load(tdir / f"{seq}.npy", mmap_mode="r")
         sizes[seq] = arr.shape[1:]  # (H, W)
     buckets = {}
@@ -305,6 +316,11 @@ def job_list(budget: str):
             while len(chunk) < BATCH:  # pad with repeats; dropped at finalize
                 chunk = chunk + [dict(chunk[len(chunk) % n_real], pad=True)]
             batches.append({"size": size, "jobs": chunk[:BATCH]})
+
+    if budget == "slowtail":
+        # Pure budget probe: same recipe/arch as the medium sweep, just the
+        # slow budget — no aux-lambda or decoder-arch candidate waves.
+        return batches
 
     # Aux lop batches (appended AFTER the main plan so existing batch
     # indices, states, and finals stay valid). uids continue past the main
@@ -1116,10 +1132,20 @@ def cmd_finalize(args) -> None:
             "inflation_probe/inflation_probe.json)."
         ),
     }
-    if args.budget == "smoke":
-        # Pre-flight only: archive under the smoke suffix and never touch
-        # the canonical judge-visible bd_rate.json.
-        (WORKDIR / "bd_rate_smoke.json").write_text(json.dumps(summary, indent=2))
+    if args.budget in ("smoke", "slowtail"):
+        # Side experiments: archive under their own suffix and never touch
+        # the canonical judge-visible bd_rate.json (smoke = 60-iter
+        # pre-flight garbage; slowtail = 4-sequence budget probe whose mean
+        # must not read as a dataset number).
+        if args.budget == "slowtail":
+            summary["note"] = (
+                "budget-hypothesis probe: reference slow recipe (100k x 3 "
+                "loops) on only the 4 worst budget-matched-medium sequences; "
+                "compare bd_rate_per_seq against the same keys in "
+                "bd_rate_medium.json"
+            )
+        (WORKDIR / f"bd_rate_{args.budget}.json").write_text(
+            json.dumps(summary, indent=2))
         print(json.dumps(summary, indent=2))
         return
     # canonical judge-visible location + per-budget archive; a partial
@@ -1127,7 +1153,7 @@ def cmd_finalize(args) -> None:
     # the canonical file always shows the full picture.
     for sib in sorted(WORKDIR.glob("bd_rate_*.json")):
         sib_budget = sib.stem.replace("bd_rate_", "")
-        if sib_budget == args.budget or sib_budget == "smoke":
+        if sib_budget == args.budget or sib_budget in ("smoke", "slowtail"):
             continue
         try:
             s = json.loads(sib.read_text())

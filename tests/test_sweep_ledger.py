@@ -174,6 +174,32 @@ def test_vlop_wave_absent_for_other_datasets(sweep):
     )
 
 
+def test_slowtail_budget_restricted_to_tail_no_waves(sweep, tmp_path):
+    """slowtail = the reference slow recipe on only the worst medium-tail
+    sequences, with NO aux/arch candidate waves (pure budget probe), full
+    lambda coverage, and unique uids."""
+    import numpy as np
+
+    tdir = tmp_path / "targets"
+    tdir.mkdir()
+    for i, seq in enumerate(sweep.SEQS):
+        hw = (4, 6) if i % 2 else (6, 4)
+        np.save(tdir / f"{seq}.npy", np.zeros((3, *hw), np.float32))
+
+    assert sweep.BUDGETS["slowtail"] == sweep.BUDGETS["slow"]
+    batches = sweep.job_list("slowtail")
+    assert all("arch" not in b for b in batches), "no candidate waves"
+    jobs = [j for b in batches for j in b["jobs"] if not j.get("pad")]
+    assert {j["seq"] for j in jobs} == set(sweep.TAIL_SEQS)
+    _, n_loops = sweep.BUDGETS["slowtail"]
+    assert len(jobs) == len(sweep.TAIL_SEQS) * len(sweep.SWEEP_LAMBDAS) * n_loops
+    for seq in sweep.TAIL_SEQS:
+        assert {j["lmbda"] for j in jobs if j["seq"] == seq} == set(
+            sweep.SWEEP_LAMBDAS)
+    uids = [j["uid"] for j in jobs]
+    assert len(uids) == len(set(uids))
+
+
 def test_smoke_budget_registered():
     """The CPU smoke budget exists and is tiny (pre-flight, not a sweep)."""
     import importlib.util
