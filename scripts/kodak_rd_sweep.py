@@ -207,12 +207,15 @@ BUDGETS = {  # (phase1 iters, n_loops) — reference cfg/enc/{fast,medium,slow}.
     "fast": (10_600, 1),
     "medium": (30_000, 2),
     "slow": (100_000, 3),
-    # Budget-hypothesis probe (round-3 verdict): the reference slow recipe
-    # (100k x 3) on ONLY the worst medium-tail sequences. If slow closes
-    # the kodim15/23/12/09 gap, the +2.44% medium tail is training budget,
-    # not optimizer quality. Own state/results namespace (_slowtail);
-    # never touches the canonical bd_rate.json.
-    "slowtail": (100_000, 3),
+    # Budget-hypothesis probe (round-3 verdict): the reference slow
+    # PHASE SCHEDULE (100k phase-1 iters) on ONLY the worst medium-tail
+    # sequences, single loop (the full 3-loop slow recipe costs ~6 h on a
+    # degraded tunnel; one loop at 3.3x the medium iterations already
+    # answers "is the tail a budget artifact?" — and with FEWER candidates
+    # than medium's 2 loops, a slowtail win is stronger evidence, not
+    # weaker). Own state/results namespace (_slowtail); never touches the
+    # canonical bd_rate.json.
+    "slowtail": (100_000, 1),
     # CPU-forced tiny-budget smoke of the full per-batch encode pipeline
     # (targets -> arch -> chunked warmup -> phases -> NN quant -> final.pkl)
     # for pre-flighting a dataset the supervisor will chain into unattended.
