@@ -75,20 +75,32 @@ def _force_platform(platform: str) -> None:
 # ------------------------------------------------------------------ corpus
 
 
-def cmd_corpus(_args) -> None:
-    from coolchic_tpu.bitstream import decode_bitstream
-    from coolchic_tpu.io import write_png
+def cmd_corpus(args) -> None:
+    """Decode published reference bitstreams into a PNG corpus. --full
+    takes every lambda point of all three datasets (round-3 verdict #7:
+    grow the corpus to all decoded reconstructions); the default keeps the
+    legacy lambda=1e-4 kodak+clic set."""
+    from coolchic_tpu.bitstream import decode_bitstream, decode_video_bitstream
+    from coolchic_tpu.io import write_png, yuv2rgb
 
     CORPUS.mkdir(parents=True, exist_ok=True)
+    datasets = (("kodak", "clic20-pro-valid", "jvet") if args.full
+                else ("kodak", "clic20-pro-valid"))
+    pattern = "*.cool" if args.full else "*-lmbda-00001.cool"
     n = 0
-    for ds in ("kodak", "clic20-pro-valid"):
+    for ds in datasets:
         bsdir = Path(f"/root/reference/results/image/{ds}/bitstreams")
-        for f in sorted(bsdir.glob("*-lmbda-00001.cool")):
-            out = CORPUS / f"{ds}-{f.stem.replace('-lmbda-00001', '')}.png"
-            if out.exists():
+        for f in sorted(bsdir.glob(pattern)):
+            out = CORPUS / f"{ds}-{f.stem}.png"
+            legacy = CORPUS / f"{ds}-{f.stem.replace('-lmbda-00001', '')}.png"
+            if out.exists() or legacy.exists():
                 n += 1
                 continue
-            img, _ = decode_bitstream(f.read_bytes(), integer_pipeline=True)
+            if "yuv" in f.stem:  # jvet: decode via the video entry, to RGB
+                frames, _ = decode_video_bitstream(f.read_bytes())
+                img = yuv2rgb(np.asarray(frames[0], np.float32))
+            else:
+                img, _ = decode_bitstream(f.read_bytes(), integer_pipeline=True)
             write_png(np.clip(img, 0, 1), str(out))
             n += 1
             print(f"{out.name}", flush=True)
@@ -98,19 +110,42 @@ def cmd_corpus(_args) -> None:
 # ------------------------------------------------------------------- train
 
 
+def corpus_split(full: bool):
+    """Content-aware split. Legacy (65-image) corpus: the original
+    deterministic head split. Full corpus: train on every CLIC+JVET
+    reconstruction, hold out ALL Kodak content — zero content overlap, so
+    the eval can emit a full 24-image kodak_results.csv in the reference's
+    ablation schema (their hypernet trains on OpenImages, also disjoint
+    from Kodak)."""
+    from coolchic_tpu.metalearning.data import train_test_split
+
+    paths = sorted(CORPUS.glob("*.png"))
+    assert paths, "run `corpus` first"
+    if not full:
+        return train_test_split(paths)
+    train_paths = [p for p in paths if not p.name.startswith("kodak-")]
+    # one eval image per kodak content: the lambda=1e-4 reconstruction
+    # (legacy unsuffixed name)
+    test_paths = [p for p in paths
+                  if p.name.startswith("kodak-") and "-lmbda-" not in p.name]
+    return train_paths, test_paths
+
+
+def _ckpt(name: str, full: bool) -> Path:
+    return WORKDIR / (f"{name}_full.pkl" if full else f"{name}.pkl")
+
+
 def cmd_train(args) -> None:
     _force_platform(args.platform)
     import jax
 
     from coolchic_tpu.hypernet import DeltaWholeNet, NOWholeNet
-    from coolchic_tpu.metalearning.data import PatchDataset, train_test_split
+    from coolchic_tpu.metalearning.data import PatchDataset
     from coolchic_tpu.train.presets import TrainerPhase
     from coolchic_tpu.hypernet.training import train_wholenet
 
     cfg = demo_cfg()
-    paths = sorted(CORPUS.glob("*.png"))
-    assert paths, "run `corpus` first"
-    train_paths, test_paths = train_test_split(paths)
+    train_paths, test_paths = corpus_split(args.full)
     print(f"{len(train_paths)} train / {len(test_paths)} held-out images")
 
     ds = PatchDataset(train_paths, PATCH, seed=0)
@@ -130,7 +165,7 @@ def cmd_train(args) -> None:
     WORKDIR.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
 
-    no_ckpt = WORKDIR / "no_wholenet.pkl"
+    no_ckpt = _ckpt("no_wholenet", args.full)
     no_net = NOWholeNet(cfg)
     if no_ckpt.exists():
         no_state = pickle.load(open(no_ckpt, "rb"))
@@ -141,12 +176,13 @@ def cmd_train(args) -> None:
             no_net, no_state, ds.batches(BATCH, seed=2), eval_imgs, LMBDA,
             phase, jax.random.PRNGKey(1), n_samples=args.no_samples,
             batch_size=BATCH, freq_valid_samples=1600,
-            workdir=WORKDIR / "no", checkpointing_freq_samples=4000,
+            workdir=WORKDIR / ("no_full" if args.full else "no"),
+            checkpointing_freq_samples=4000,
         )
         pickle.dump(no_state, open(no_ckpt, "wb"))
         print(f"NO trained ({time.time() - t0:.0f} s)")
 
-    delta_ckpt = WORKDIR / "delta_wholenet.pkl"
+    delta_ckpt = _ckpt("delta_wholenet", args.full)
     delta_net = DeltaWholeNet(cfg)
     if not delta_ckpt.exists():
         dstate = delta_net.init(jax.random.PRNGKey(2), PATCH)
@@ -156,7 +192,8 @@ def cmd_train(args) -> None:
             phase, jax.random.PRNGKey(3), n_samples=args.delta_samples,
             batch_size=BATCH, freq_valid_samples=1600,
             unfreeze_backbone_samples=args.delta_samples // 4,
-            workdir=WORKDIR / "delta", checkpointing_freq_samples=4000,
+            workdir=WORKDIR / ("delta_full" if args.full else "delta"),
+            checkpointing_freq_samples=4000,
         )
         pickle.dump(dstate, open(delta_ckpt, "wb"))
         print(f"Delta trained ({time.time() - t0:.0f} s total)")
@@ -172,7 +209,7 @@ def cmd_eval(args) -> None:
     import jax.numpy as jnp
 
     from coolchic_tpu.hypernet import DeltaWholeNet
-    from coolchic_tpu.metalearning.data import PatchDataset, train_test_split
+    from coolchic_tpu.metalearning.data import PatchDataset
     from coolchic_tpu.models import CoolChicConfig, init_coolchic_params
     from coolchic_tpu.train.presets import TrainerPhase
     from coolchic_tpu.train.step import eval_metrics, run_phase
@@ -185,11 +222,10 @@ def cmd_eval(args) -> None:
         n_hidden_layers_arm=cfg_p.n_hidden_layers_arm,
         layers_synthesis=cfg_p.layers_synthesis,
     )
-    paths = sorted(CORPUS.glob("*.png"))
-    _, test_paths = train_test_split(paths)
+    _, test_paths = corpus_split(args.full)
     eval_ds = PatchDataset(test_paths, EVAL_PATCH, seed=7)
 
-    d_state = pickle.load(open(WORKDIR / "delta_wholenet.pkl", "rb"))
+    d_state = pickle.load(open(_ckpt("delta_wholenet", args.full), "rb"))
     d_net = DeltaWholeNet(cfg_e)
 
     tune = TrainerPhase(
@@ -233,7 +269,8 @@ def cmd_eval(args) -> None:
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    out = WORKDIR / "results.csv"
+    suffix = "_full" if args.full else ""
+    out = WORKDIR / f"results{suffix}.csv"
     with open(out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
@@ -248,22 +285,153 @@ def cmd_eval(args) -> None:
         "scratchK_loss": mean("scratchK_loss"),
         "hn_tuneK_beats_scratch": mean("hn_tuneK_loss") < mean("scratchK_loss"),
     }
-    (WORKDIR / "summary.json").write_text(json.dumps(summary, indent=2))
+    (WORKDIR / f"summary{suffix}.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))
+
+
+# ---------------------------------------------------- reference-schema CSV
+
+
+def cmd_ablation(args) -> None:
+    """Per-image CSV over the held-out Kodak images in the reference's
+    ablation schema (switch-ablation-exps/*/config_0*/kodak_results.csv:
+    seq_name, rate_bpp, rate_latent_bpp, rate_nn_bpp, psnr_db, mse,
+    option_selected, anchor), with the delta-subset switch search playing
+    the reference's module-switch ablation. Rates are loss-function
+    estimates (rate_nn_bpp=0: deltas stay untransmitted in this arm),
+    anchor='hypernet' one-shot rows + 'hypernet_tuned' K-iter rows."""
+    _force_platform(args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from coolchic_tpu.hypernet import DeltaWholeNet
+    from coolchic_tpu.hypernet.inference import eval_image_delta_subsets
+    from coolchic_tpu.models import CoolChicConfig
+    from coolchic_tpu.io import read_png
+
+    cfg_p = demo_cfg()
+    _, test_paths = corpus_split(args.full)
+    d_state = pickle.load(open(_ckpt("delta_wholenet", args.full), "rb"))
+
+    rows = []
+    for path in test_paths[: args.n_images]:
+        arr, _ = read_png(str(path))
+        # center-crop to a multiple of the pyramid stride at eval size
+        h = min(arr.shape[1] // 64 * 64, 512)
+        w = min(arr.shape[2] // 64 * 64, 512)
+        y0, x0 = (arr.shape[1] - h) // 2, (arr.shape[2] - w) // 2
+        img = jnp.asarray(arr[:, y0:y0 + h, x0:x0 + w])
+        cfg_e = CoolChicConfig(
+            img_size=(h, w),
+            n_ft_per_res=cfg_p.n_ft_per_res,
+            dim_arm=cfg_p.dim_arm,
+            n_hidden_layers_arm=cfg_p.n_hidden_layers_arm,
+            layers_synthesis=cfg_p.layers_synthesis,
+        )
+        d_net = DeltaWholeNet(cfg_e)
+        best = eval_image_delta_subsets(d_net, d_state, img, LMBDA)
+        name = path.stem.replace("kodak-", "")
+        rows.append({
+            "seq_name": name,
+            "rate_bpp": best["rate_latent_bpp"],
+            "rate_latent_bpp": best["rate_latent_bpp"],
+            "rate_nn_bpp": 0.0,
+            "psnr_db": best["psnr_db"],
+            "mse": 10 ** (-best["psnr_db"] / 10),
+            "option_selected": best["option_selected"],
+            "anchor": "hypernet",
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    out = WORKDIR / "kodak_results.csv"
+    with open(out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {out} ({len(rows)} rows)")
+
+
+# ------------------------------------------------- iterations-to-match curve
+
+
+def cmd_curves(args) -> None:
+    """Equal-content comparison of hypernet-initialized vs from-scratch
+    per-image optimization over a K-iteration grid: how many scratch
+    iterations does the hypernet initialization buy?"""
+    _force_platform(args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from coolchic_tpu.hypernet import DeltaWholeNet
+    from coolchic_tpu.metalearning.data import PatchDataset
+    from coolchic_tpu.models import CoolChicConfig, init_coolchic_params
+    from coolchic_tpu.train.presets import TrainerPhase
+    from coolchic_tpu.train.step import eval_metrics, run_phase
+
+    cfg_p = demo_cfg()
+    cfg_e = CoolChicConfig(
+        img_size=EVAL_PATCH,
+        n_ft_per_res=cfg_p.n_ft_per_res,
+        dim_arm=cfg_p.dim_arm,
+        n_hidden_layers_arm=cfg_p.n_hidden_layers_arm,
+        layers_synthesis=cfg_p.layers_synthesis,
+    )
+    _, test_paths = corpus_split(args.full)
+    eval_ds = PatchDataset(test_paths, EVAL_PATCH, seed=7)
+    d_state = pickle.load(open(_ckpt("delta_wholenet", args.full), "rb"))
+    d_net = DeltaWholeNet(cfg_e)
+
+    ks = (0, 100, 300, 1000, 3000)
+    curves = {"k_grid": list(ks), "lmbda": LMBDA, "images": []}
+    for i in range(args.n_images):
+        img = jnp.asarray(eval_ds[i])
+        key = jax.random.PRNGKey(500 + i)
+        params_hn = d_net.image_to_coolchic(d_state, img)
+        p0 = init_coolchic_params(jax.random.fold_in(key, 1), cfg_e)
+        entry = {"seq_name": test_paths[i].stem, "hn": [], "scratch": []}
+        for k in ks:
+            for tag, start in (("hn", params_hn), ("scratch", p0)):
+                if k == 0:
+                    m = eval_metrics(start, cfg_e, img, LMBDA)
+                else:
+                    tune = TrainerPhase(
+                        lr=1e-3, max_itr=k, freq_valid=k,
+                        quantizer_type="softround",
+                        quantizer_noise_type="gaussian",
+                        softround_temperature=(0.3, 0.2),
+                        noise_parameter=(0.25, 0.15),
+                    )
+                    p, _ = run_phase(start, img, LMBDA,
+                                     jax.random.fold_in(key, 2), cfg_e, tune)
+                    m = eval_metrics(p, cfg_e, img, LMBDA)
+                entry[tag].append(float(m.loss))
+        # iterations for scratch to reach the hypernet one-shot loss
+        hn0 = entry["hn"][0]
+        match_k = next((k for k, ls in zip(ks, entry["scratch"]) if ls <= hn0),
+                       None)
+        entry["scratch_iters_to_match_hn_oneshot"] = match_k
+        curves["images"].append(entry)
+        print(json.dumps(entry), flush=True)
+
+    (WORKDIR / "curves.json").write_text(json.dumps(curves, indent=2))
+    print(f"wrote {WORKDIR / 'curves.json'}")
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, fn in [("corpus", cmd_corpus), ("train", cmd_train),
-                     ("eval", cmd_eval)]:
+                     ("eval", cmd_eval), ("ablation", cmd_ablation),
+                     ("curves", cmd_curves)]:
         p = sub.add_parser(name)
         p.set_defaults(fn=fn)
         p.add_argument("--platform", default="cpu", choices=("cpu", "tpu"))
+        p.add_argument("--full", action="store_true",
+                       help="full 3-dataset corpus / kodak-held-out split")
         if name == "train":
             p.add_argument("--no_samples", type=int, default=NO_SAMPLES)
             p.add_argument("--delta_samples", type=int, default=DELTA_SAMPLES)
-        if name == "eval":
+        if name in ("eval", "ablation", "curves"):
             p.add_argument("--n_images", type=int, default=6)
     args = ap.parse_args()
     args.fn(args)
