@@ -125,9 +125,9 @@ def corpus_split(full: bool):
         return train_test_split(paths)
     train_paths = [p for p in paths if not p.name.startswith("kodak-")]
     # one eval image per kodak content: the lambda=1e-4 reconstruction
-    # (legacy unsuffixed name)
     test_paths = [p for p in paths
-                  if p.name.startswith("kodak-") and "-lmbda-" not in p.name]
+                  if p.name.startswith("kodak-")
+                  and ("-lmbda-00001" in p.name or "-lmbda-" not in p.name)]
     return train_paths, test_paths
 
 
