@@ -124,6 +124,19 @@ VLOP_WAVE_SEQS = (
 # so a partial slowtail sweep covers the biggest gaps.
 TAIL_SEQS = ("kodim15", "kodim23", "kodim12", "kodim09")
 
+# Recipe waves: TRAINING-hyperparameter candidate encodes (decoder arch
+# unchanged => bitstream format unchanged) on selected sequences/lambdas,
+# appended after every arch wave (same append-only uid/index stability
+# contract). Each entry:
+#   {"name": str, "seqs": tuple, "lmbdas": tuple, "loops": int,
+#    "params": {phase-1 TrainerPhase overrides: lr /
+#               softround_temperature / noise_parameter},
+#    "warmup_mult": optional candidate-count multiplier}
+# `finalize` keeps the best RD per (seq, lambda) and the candidate
+# multiplicity disclosure counts these like any other wave. Kodak-medium
+# only (tail attack); empty until an attribution experiment picks levers.
+RECIPE_WAVES: tuple = ()
+
 
 def _batch_arch(bdir: Path, state_exists: bool, plan_arch: dict = None) -> dict:
     apath = bdir / "arch.json"
@@ -135,6 +148,20 @@ def _batch_arch(bdir: Path, state_exists: bool, plan_arch: dict = None) -> dict:
     arch = dict(plan_arch) if plan_arch is not None else dict(SWEEP_ARCH)
     apath.write_text(json.dumps(arch))
     return arch
+
+
+def _batch_recipe(bdir: Path, state_exists: bool, plan_recipe: dict = None) -> dict:
+    """Persist a recipe-wave batch's training overrides next to its state
+    (restart stability: a RECIPE_WAVES edit must not change an in-flight
+    batch's recipe)."""
+    rpath = bdir / "recipe.json"
+    if rpath.exists():
+        return json.loads(rpath.read_text())
+    if state_exists or not plan_recipe:
+        return {}
+    bdir.mkdir(parents=True, exist_ok=True)
+    rpath.write_text(json.dumps(plan_recipe))
+    return dict(plan_recipe)
 
 # ---- dataset selection (--dataset; default kodak keeps the original
 # layout and the state/CLI contract of running sweeps untouched).
@@ -393,6 +420,34 @@ def job_list(budget: str):
     append_wave(MOP16_ARCH)
     if DATASET == "kodak":  # VLOP_WAVE_SEQS are kodak sequence names
         append_wave(VLOP_ARCH, seqs=VLOP_WAVE_SEQS)
+
+    # Recipe waves (kodak medium tail attack): same decoder arch, modified
+    # training recipe, at every listed lambda.
+    if DATASET == "kodak" and budget == "medium":
+        for recipe in RECIPE_WAVES:
+            rjobs = []
+            for seq in [s for s in wave_seqs if s in recipe["seqs"]]:
+                for lm in recipe["lmbdas"]:
+                    for loop in range(recipe.get("loops", 1)):
+                        rjobs.append({"seq": seq, "lmbda": lm, "loop": loop,
+                                      "uid": uid})
+                        uid += 1
+            rbuckets = {}
+            for j in rjobs:
+                rbuckets.setdefault(sizes[j["seq"]], []).append(j)
+            for size, js in sorted(rbuckets.items()):
+                for i in range(0, len(js), BATCH):
+                    chunk = js[i : i + BATCH]
+                    n_real = len(chunk)
+                    while len(chunk) < BATCH:
+                        chunk = chunk + [dict(chunk[len(chunk) % n_real],
+                                              pad=True)]
+                    batches.append({"size": size, "jobs": chunk[:BATCH],
+                                    "recipe": dict(recipe["params"],
+                                                   **({"warmup_mult":
+                                                       recipe["warmup_mult"]}
+                                                      if "warmup_mult" in recipe
+                                                      else {}))})
     return batches
 
 
@@ -410,15 +465,18 @@ def batch_order(batches, wave_value: dict | None = None) -> list:
     can finish before the machine goes away, the biggest wins must land
     first), tie-broken by the last main batch of the sequences the wave
     complements."""
+    def _is_wave(b):
+        return "arch" in b or "recipe" in b
+
     seq_main = {}
     for i, b in enumerate(batches):
-        if "arch" not in b:
+        if not _is_wave(b):
             for j in b["jobs"]:
                 seq_main.setdefault(j["seq"], i)
 
     def _prio(i):
         b = batches[i]
-        if "arch" not in b:
+        if not _is_wave(b):
             return (0, 0.0, float(i))
         complement = max(seq_main.get(j["seq"], 0) for j in b["jobs"]) + 0.5
         value = (wave_value or {}).get(i, 0.0)
@@ -445,7 +503,7 @@ def wave_values(batches, budget: str) -> dict:
 
     out = {}
     for i, b in enumerate(batches):
-        if "arch" not in b:
+        if "arch" not in b and "recipe" not in b:
             continue
         val = 0.0
         for j in b["jobs"]:
@@ -568,19 +626,41 @@ def cmd_encode(args) -> None:
 
     n_itr, _ = BUDGETS[args.budget]
     preset = preset_c3x()
-    phases = list(preset.all_phases)
-    phases[0] = type(phases[0])(**{**phases[0].__dict__, "max_itr": n_itr})
-    wp = preset.warmup.phases
+    base_phases = list(preset.all_phases)
+    base_phases[0] = type(base_phases[0])(
+        **{**base_phases[0].__dict__, "max_itr": n_itr})
+    base_wp = preset.warmup.phases
     if args.budget == "smoke":
-        phases = [type(p)(**{**p.__dict__, "max_itr": min(p.max_itr, n_itr),
-                             "freq_valid": min(p.freq_valid, 20)})
-                  for p in phases]
-        wp = (type(wp[0])(
+        base_phases = [
+            type(p)(**{**p.__dict__, "max_itr": min(p.max_itr, n_itr),
+                       "freq_valid": min(p.freq_valid, 20)})
+            for p in base_phases
+        ]
+        base_wp = (type(base_wp[0])(
             candidates=2,
-            training_phase=type(wp[0].training_phase)(
-                **{**wp[0].training_phase.__dict__,
+            training_phase=type(base_wp[0].training_phase)(
+                **{**base_wp[0].training_phase.__dict__,
                    "max_itr": 20, "freq_valid": 20}),
         ),)
+
+    def apply_recipe(recipe: dict):
+        """Per-batch training-recipe overrides (recipe waves)."""
+        phases_b, wp_b = list(base_phases), base_wp
+        if recipe:
+            over = {k: tuple(v) if isinstance(v, list) else v
+                    for k, v in recipe.items()
+                    if k in ("lr", "softround_temperature", "noise_parameter")}
+            if over:
+                phases_b[0] = type(phases_b[0])(
+                    **{**phases_b[0].__dict__, **over})
+            if int(recipe.get("warmup_mult", 1)) != 1:
+                wp_b = tuple(
+                    type(w)(candidates=w.candidates
+                            * int(recipe["warmup_mult"]),
+                            training_phase=w.training_phase)
+                    for w in base_wp
+                )
+        return phases_b, wp_b
 
     def to_np(t):
         return jax.tree.map(lambda a: np.asarray(a), t)
@@ -606,6 +686,8 @@ def cmd_encode(args) -> None:
             continue
         h, w = batch["size"]
         arch = _batch_arch(bdir, spath.exists(), batch.get("arch"))
+        recipe = _batch_recipe(bdir, spath.exists(), batch.get("recipe"))
+        phases, wp = apply_recipe(recipe)
         cfg = CoolChicConfig(img_size=(int(h), int(w)),
                              frame_data_type=FRAME_DTYPE, **arch)
         jobs = batch["jobs"]

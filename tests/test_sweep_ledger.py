@@ -203,6 +203,51 @@ def test_slowtail_budget_restricted_to_tail_no_waves(sweep, tmp_path):
     assert len(uids) == len(set(uids))
 
 
+def test_recipe_waves_appended_last_and_persisted(sweep, tmp_path, monkeypatch):
+    """Recipe waves: training-hyperparameter candidates appended after all
+    arch waves (uid/index stability), ordered after mains by batch_order,
+    with the recipe persisted per batch dir for restart stability."""
+    import numpy as np
+
+    tdir = tmp_path / "targets"
+    tdir.mkdir()
+    for i, seq in enumerate(sweep.SEQS):
+        hw = (4, 6) if i % 2 else (6, 4)
+        np.save(tdir / f"{seq}.npy", np.zeros((3, *hw), np.float32))
+
+    base = sweep.job_list("medium")
+    monkeypatch.setattr(sweep, "RECIPE_WAVES", (
+        {"name": "anneal", "seqs": sweep.TAIL_SEQS,
+         "lmbdas": (0.004, 0.02), "loops": 1,
+         "params": {"softround_temperature": [0.3, 0.05]}},
+    ))
+    withr = sweep.job_list("medium")
+    # strictly appended: the pre-existing plan is untouched
+    assert withr[: len(base)] == base
+    extra = withr[len(base):]
+    assert extra and all("recipe" in b for b in extra)
+    rjobs = [j for b in extra for j in b["jobs"] if not j.get("pad")]
+    assert {j["seq"] for j in rjobs} == set(sweep.TAIL_SEQS)
+    assert {j["lmbda"] for j in rjobs} == {0.004, 0.02}
+    uids = [j["uid"] for b in withr for j in b["jobs"] if not j.get("pad")]
+    assert len(uids) == len(set(uids))
+    # ordering: recipe batches come after every main batch
+    order = sweep.batch_order(withr, {})
+    mains = [i for i, b in enumerate(withr)
+             if "arch" not in b and "recipe" not in b]
+    recips = [i for i, b in enumerate(withr) if "recipe" in b]
+    assert max(order.index(i) for i in mains) < min(
+        order.index(i) for i in recips)
+    # persistence: first call writes recipe.json, later plan edits ignored
+    bdir = tmp_path / "batches_medium" / "batch_xxx"
+    r1 = sweep._batch_recipe(bdir, False, {"lr": 0.02})
+    assert r1 == {"lr": 0.02}
+    r2 = sweep._batch_recipe(bdir, True, {"lr": 0.999})
+    assert r2 == {"lr": 0.02}
+    # fast/other budgets: no recipe batches
+    assert not any("recipe" in b for b in sweep.job_list("fast"))
+
+
 def test_smoke_budget_registered():
     """The CPU smoke budget exists and is tiny (pre-flight, not a sweep)."""
     import importlib.util
