@@ -1067,6 +1067,37 @@ def cmd_run(args) -> None:
 # ------------------------------------------------------------------- finalize
 
 
+def _fold_slowtail_attribution(summary: dict, workdir: Path) -> None:
+    """Self-contained budget attribution for the slowtail probe: pull the
+    same sequences' budget-matched-medium numbers into the summary so the
+    probe's conclusion does not require cross-referencing by hand."""
+    med_path = workdir / "bd_rate_medium.json"
+    if not med_path.exists():
+        return
+    med = json.loads(med_path.read_text()).get("bd_rate_per_seq", {})
+    comp = {
+        seq: {
+            "medium_30k_x2_pct": med.get(seq),
+            "slowtail_100k_x1_pct": v,
+            "delta_pct": round(v - med[seq], 3) if seq in med else None,
+        }
+        for seq, v in summary.get("bd_rate_per_seq", {}).items()
+    }
+    deltas = [c["delta_pct"] for c in comp.values()
+              if c["delta_pct"] is not None]
+    summary["vs_medium"] = comp
+    if deltas:
+        summary["budget_attribution"] = {
+            "mean_delta_pct": round(float(np.mean(deltas)), 3),
+            "interpretation": (
+                "negative delta = the extra per-loop budget closes that "
+                "sequence's gap (budget artifact); delta near 0 = the gap "
+                "survives 1.7x the per-loop budget (optimizer/recipe "
+                "quality)"
+            ),
+        }
+
+
 def cmd_finalize(args) -> None:
     # Finalize is host-side work (tree slicing, C-decoder round-trips,
     # numpy PSNR) — force the CPU backend so it never attaches the shared
@@ -1224,11 +1255,15 @@ def cmd_finalize(args) -> None:
         # must not read as a dataset number).
         if args.budget == "slowtail":
             summary["note"] = (
-                "budget-hypothesis probe: reference slow recipe (100k x 3 "
-                "loops) on only the 4 worst budget-matched-medium sequences; "
+                "budget-hypothesis probe: the reference slow recipe's "
+                "per-loop budget (100k itr) at a SINGLE loop (degraded-"
+                "tunnel affordability; a single-loop win at 1.7x medium's "
+                "per-loop budget is stronger evidence than a 2-loop one) "
+                "on only the 4 worst budget-matched-medium sequences; "
                 "compare bd_rate_per_seq against the same keys in "
                 "bd_rate_medium.json"
             )
+            _fold_slowtail_attribution(summary, WORKDIR)
         (WORKDIR / f"bd_rate_{args.budget}.json").write_text(
             json.dumps(summary, indent=2))
         print(json.dumps(summary, indent=2))
