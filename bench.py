@@ -228,13 +228,17 @@ def stop_sweep_processes(pidfiles=None, cmdline_tags=None) -> list[int]:
             os.path.join(
                 root, "results/image/kodak/tpu_sweep/inflation_probe/run.pid"
             ),
+            os.path.join(root, "results/hypernet_demo/run.pid"),
             # The supervisor (scripts/sweep_supervisor.py) relaunches the
             # run loop whenever the sweep goes idle — it must die too, or
-            # it would restart the sweep mid-bench.
+            # it would restart the sweep mid-bench. Same for any /tmp
+            # chain/watcher script that would re-dispatch TPU work.
             "/tmp/sweep_supervisor.pid",
+            "/tmp/tpu_swap.pid",
         ]
     if cmdline_tags is None:
-        cmdline_tags = ("rd_sweep", "inflation_probe", "sweep_supervisor")
+        cmdline_tags = ("rd_sweep", "inflation_probe", "sweep_supervisor",
+                        "hypernet_demo", "tpu_swap")
     pids = []
     for pf in pidfiles:
         try:

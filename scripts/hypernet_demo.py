@@ -136,6 +136,10 @@ def _ckpt(name: str, full: bool) -> Path:
 
 
 def cmd_train(args) -> None:
+    # bench.py's pre-measurement teardown kills TPU-holding jobs by
+    # recorded PID (never by pattern); this is the pidfile it looks for.
+    WORKDIR.mkdir(parents=True, exist_ok=True)
+    (WORKDIR / "run.pid").write_text(str(os.getpid()))
     _force_platform(args.platform)
     import jax
 
