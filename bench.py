@@ -235,10 +235,11 @@ def stop_sweep_processes(pidfiles=None, cmdline_tags=None) -> list[int]:
             # chain/watcher script that would re-dispatch TPU work.
             "/tmp/sweep_supervisor.pid",
             "/tmp/tpu_swap.pid",
+            "/tmp/tpu_stage2.pid",
         ]
     if cmdline_tags is None:
         cmdline_tags = ("rd_sweep", "inflation_probe", "sweep_supervisor",
-                        "hypernet_demo", "tpu_swap")
+                        "hypernet_demo", "tpu_swap", "tpu_stage2")
     pids = []
     for pf in pidfiles:
         try:
