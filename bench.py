@@ -295,6 +295,9 @@ def main():
 
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+    # Worker relaunches (tunnel crashes are routine) must not re-pay the
+    # train-step compile inside the wall-clock budget.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
     state = {
         "device": "?",
