@@ -1067,6 +1067,32 @@ def cmd_run(args) -> None:
 # ------------------------------------------------------------------- finalize
 
 
+def _calibration_caveat() -> str:
+    """Ground-truth proxy-flattery calibration sentence for the summary
+    caveat, data-driven off the multi-content probe's aggregate (the kodak
+    workdir regardless of --dataset; the methodology is shared)."""
+    bias = (Path(__file__).resolve().parents[1]
+            / "results/image/kodak/tpu_sweep/proxy_bias.json")
+    try:
+        mc = json.loads(bias.read_text())["measured_calibration_points"]
+        if mc.get("n_points", 0) >= 2:
+            return (
+                f"{mc['n_points']} ground-truth calibration contents "
+                f"measure the actual flattery at {mc['min_pct']:+.2f}%.."
+                f"{mc['max_pct']:+.2f}% BD-rate (mean {mc['mean_pct']:+.2f}%"
+                ", scripts/proxy_inflation_probe.py -> "
+                "inflation_probe/points.json)."
+            )
+    except Exception:
+        pass
+    return (
+        "the one ground-truth calibration point available offline "
+        "measures the actual flattery at +0.24% BD-rate "
+        "(scripts/proxy_inflation_probe.py -> "
+        "inflation_probe/inflation_probe.json)."
+    )
+
+
 def _tail_pointer_block(workdir: Path) -> dict | None:
     """Compact pointer to the slowtail probe's conclusion, for injection
     into the canonical bd_rate summaries (the judge reads those first)."""
@@ -1263,11 +1289,8 @@ def cmd_finalize(args) -> None:
             "(quantified in proxy_bias.json via the reference's published "
             "true-PSNR table): this number is a LOWER bound on the "
             "true-space gap, understating it by at most ~8.6% BD-rate "
-            "(worst-case bound, scripts/proxy_bias.py); the one "
-            "ground-truth calibration point available offline measures "
-            "the actual flattery at +0.24% BD-rate "
-            "(scripts/proxy_inflation_probe.py -> "
-            "inflation_probe/inflation_probe.json)."
+            "(worst-case bound, scripts/proxy_bias.py); "
+            + _calibration_caveat()
         ),
     }
     if args.budget in ("smoke", "slowtail"):
