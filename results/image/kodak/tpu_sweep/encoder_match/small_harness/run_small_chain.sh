@@ -10,7 +10,7 @@ for cfg in kodim15_192x128_4e-3 kodim12_192x128_4e-3 kodim17_128x192_4e-3 kodim1
   if [ -s "$out" ]; then echo "SKIP $cfg (output exists)" >> $LOG; continue; fi
   echo "START $cfg $(date +%s)" >> $LOG
   t0=$(date +%s)
-  nice -n 10 python encode.py --config /tmp/refenc/small/$cfg.yaml \
+  nice -n 10 python /tmp/refenc/encode_patched.py --config /tmp/refenc/small/$cfg.yaml \
     > /tmp/refenc/small/${cfg}.log 2>&1
   rc=$?
   t1=$(date +%s)
