@@ -236,10 +236,12 @@ def stop_sweep_processes(pidfiles=None, cmdline_tags=None) -> list[int]:
             "/tmp/sweep_supervisor.pid",
             "/tmp/tpu_swap.pid",
             "/tmp/tpu_stage2.pid",
+            "/tmp/tpu_stage3.pid",
         ]
     if cmdline_tags is None:
         cmdline_tags = ("rd_sweep", "inflation_probe", "sweep_supervisor",
-                        "hypernet_demo", "tpu_swap", "tpu_stage2")
+                        "hypernet_demo", "tpu_swap", "tpu_stage2",
+                        "tpu_stage3")
     pids = []
     for pf in pidfiles:
         try:
