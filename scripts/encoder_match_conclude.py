@@ -45,17 +45,37 @@ def conclusion() -> dict | None:
         for r in same
     ]
     mean = sum(p["ours_minus_ref_rd_cost_pct"] for p in pts) / len(pts)
-    if mean > 1.0:
+    # Per-point attribution: the question is per-image (the medium-sweep
+    # tail is carried by specific images), so a single mean-based sentence
+    # can misstate a mixed outcome. |delta| <= 1% counts as parity.
+    ours_better = [p for p in pts if p["ours_minus_ref_rd_cost_pct"] < -1.0]
+    ref_better = [p for p in pts if p["ours_minus_ref_rd_cost_pct"] > 1.0]
+    parity = [p for p in pts if p not in ours_better and p not in ref_better]
+
+    def _names(ps):
+        return ", ".join(f"{p['seq']}@{p['lmbda']:g}" for p in ps)
+
+    if ref_better and (ours_better or parity):
+        verdict = (
+            "MIXED, per-image: at equal iteration budget on the same target "
+            f"the reference encoder wins on {_names(ref_better)} (that "
+            "image's residual sweep gap is optimizer/recipe quality), while "
+            f"ours matches or beats it on {_names(parity + ours_better)} "
+            "(those gaps are budget/recipe artifacts of the published "
+            "streams' larger unpublished budget)"
+        )
+    elif ref_better:
         verdict = (
             "at equal iteration budget on the same target the reference "
-            "encoder reaches a lower RD cost: the residual sweep gap is "
-            "optimizer/recipe quality, not budget"
+            "encoder reaches a lower RD cost on every measured point: the "
+            "residual sweep gap is optimizer/recipe quality, not budget"
         )
-    elif mean < -1.0:
+    elif ours_better and not parity:
         verdict = (
             "at equal iteration budget on the same target OUR encoder "
-            "reaches a lower RD cost: the published-curve gap is a "
-            "budget/recipe artifact, not optimizer quality"
+            "reaches a lower RD cost on every measured point: the "
+            "published-curve gap is a budget/recipe artifact, not optimizer "
+            "quality"
         )
     else:
         verdict = (

@@ -80,3 +80,26 @@ def test_verdict_direction():
     rows[0] = _row("same_budget", 0.3)
     blk = mod.conclusion()
     assert "within noise" in blk["verdict"]
+
+
+def test_mixed_outcome_names_both_sides():
+    # one image reference-better, one parity: the verdict must say MIXED
+    # and attribute per image instead of averaging the story away
+    mod = _load(Path("/tmp"))
+    import types
+
+    rows = [
+        _row("same_budget", 3.4, seq="kodim12_192x128"),
+        _row("same_budget", -0.6, seq="kodim15_192x128"),
+    ]
+    mod.MATCH = types.SimpleNamespace(
+        exists=lambda: True, read_text=lambda: json.dumps({"rows": rows}))
+    blk = mod.conclusion()
+    assert blk["verdict"].startswith("MIXED")
+    assert "kodim12_192x128" in blk["verdict"]
+    assert "kodim15_192x128" in blk["verdict"]
+    # all points reference-better: unambiguous optimizer-quality verdict
+    rows[1] = _row("same_budget", 2.2, seq="kodim15_192x128")
+    blk = mod.conclusion()
+    assert "every measured point" in blk["verdict"]
+    assert "optimizer/recipe quality" in blk["verdict"]
