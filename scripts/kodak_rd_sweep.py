@@ -1258,7 +1258,9 @@ def cmd_finalize(args) -> None:
     # published streams — record the multiplicity so nobody mistakes the
     # low-rate point for an equal-effort comparison.
     enc_counts: dict = {}
-    for b in batches:
+    for bi, b in enumerate(batches):
+        if bi not in finalized:
+            continue  # partial finalize: count only encodes that actually ran
         for j in b["jobs"]:
             if not j.get("pad"):
                 k = (j["seq"], j["lmbda"])
@@ -1269,6 +1271,8 @@ def cmd_finalize(args) -> None:
     summary = {
         "budget": args.budget,
         "n_sequences": len(per_seq),
+        "n_sequences_planned": len({j["seq"] for b in batches
+                                    for j in b["jobs"] if not j.get("pad")}),
         "bd_rate_vs_reference_pct_mean": float(np.mean(list(per_seq.values()))),
         "bd_rate_per_seq": {k: round(v, 3) for k, v in sorted(per_seq.items())},
         "encode_candidates_per_lambda": {
