@@ -40,6 +40,14 @@ skipped work — before the budget expires. Accuracy hardening (gate, chained
 inputs, probes) happens strictly inside that budget: at most 2 gate probes,
 degraded chips get fewer/shorter trials instead of more waiting.
 
+Window contract (round-4 verdict: `timeout=remaining` let one tunnel-hung
+worker consume the whole budget — 2 launches in 765 s, zero trials): every
+worker launch is individually capped (probe <= PROBE_WORKER_CAP_S, trial
+window <= TRIAL_WORKER_CAP_MAX_S), so a dead tunnel costs one window and
+the orchestrator gets many independent chances across the budget — a
+tunnel that recovers mid-budget is caught by a later window. Completed
+items stream out per-item and survive a window hitting its cap.
+
 Prints exactly one JSON line (worker mode streams intermediate lines).
 """
 
@@ -60,7 +68,18 @@ N_TRIALS = 3
 BATCHES = (8, 32, 64)  # 32 fits at 7.8G HBM since the layout-proof ups/syn
 # rework; 64 runs as 2x32 alternating resident halves (see measure()). The
 # headline is the best amortized s/image across batch sizes.
-COOLDOWN_S = 45
+COOLDOWN_S = 30
+
+# Per-worker wall-clock caps (round-4 verdict: `timeout=remaining` let ONE
+# tunnel-hung worker burn the whole budget — r04 got 2 launches in 765 s and
+# zero trials). A hung worker now costs one bounded window; the orchestrator
+# cycles gate->trial attempts across many independent windows, so a tunnel
+# that recovers mid-budget is still caught. Results stream per-item, so a
+# window that hits its cap keeps everything it already printed.
+PROBE_WORKER_CAP_S = 90
+TRIAL_WORKER_CAP_BASE_S = 120   # jax init + (cached) train-step compile
+TRIAL_WORKER_CAP_PER_ITEM_S = 40
+TRIAL_WORKER_CAP_MAX_S = 210
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "780"))
 FINAL_PRINT_RESERVE_S = 15  # always keep this much to emit the JSON line
 MIN_TRIAL_HEADROOM_S = 100  # don't start a trial with less than this left
@@ -310,20 +329,27 @@ def main():
         "gate_probes": [],
         "gate_passed": False,
         "launches": 0,
+        "windows": [],
     }
 
-    def run_worker(todo_items, phase_iters):
+    def run_worker(todo_items, phase_iters, cap_s=None):
+        """One bounded worker window. `cap_s` caps this launch's wall-clock
+        (a tunnel-hung worker costs one window, never the remaining budget);
+        items the window didn't reach stay pending for the next launch."""
         remaining = deadline - time.time()
         if remaining < 30:
             state["skipped"].extend(todo_items)
             return []
+        timeout = remaining if cap_s is None else min(remaining, cap_s)
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--todo", ",".join(todo_items),
-               "--deadline", str(deadline), "--iters", str(phase_iters)]
+               "--deadline", str(min(deadline, time.time() + timeout)),
+               "--iters", str(phase_iters)]
         state["launches"] += 1
+        t_win = time.time()
         try:
             p = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=remaining, env=env, cwd="/root/repo")
+                               timeout=timeout, env=env, cwd="/root/repo")
             out_lines = p.stdout.strip().splitlines()
             if p.returncode != 0:
                 state["last_err"] = (p.stderr or p.stdout)[-300:]
@@ -343,6 +369,10 @@ def main():
             else:
                 recs.append(rec)
                 state["results"][f"{rec['kind']}:{rec['arg']}"] = rec["value"]
+        state["windows"].append({
+            "todo": len(todo_items), "got": len(recs),
+            "cap_s": round(timeout, 1), "dt_s": round(time.time() - t_win, 1),
+        })
         return recs
 
     def body():
@@ -350,7 +380,8 @@ def main():
 
         # ---- chip gate: at most GATE_ATTEMPTS probes, never past deadline.
         for attempt in range(GATE_ATTEMPTS):
-            recs = run_worker([f"probe:{20 + attempt}"], PHASE_ITERS)
+            recs = run_worker([f"probe:{20 + attempt}"], PHASE_ITERS,
+                              cap_s=PROBE_WORKER_CAP_S)
             tflops = next((r["value"] for r in recs if r["kind"] == "probe"), 0.0)
             state["gate_probes"].append(round(float(tflops), 1))
             if tflops >= GATE_TFLOPS:
@@ -370,7 +401,10 @@ def main():
         todo = [f"trial:{b}x{t}" for t in range(N_TRIALS) for b in BATCHES]
         todo.append("probe:11")
         relaunches = 0
-        while time.time() + MIN_TRIAL_HEADROOM_S < deadline and relaunches < 6:
+        # Windows are individually capped now, so allow more of them: an
+        # empty-handed window costs <= TRIAL_WORKER_CAP_MAX_S + COOLDOWN_S
+        # and the deadline check bounds the total regardless.
+        while time.time() + MIN_TRIAL_HEADROOM_S < deadline and relaunches < 12:
             oom_b = {k.partition(":")[2].partition("x")[0]
                      for k in state["results"] if k.startswith("oom:")}
             pending = [x for x in todo
@@ -379,7 +413,10 @@ def main():
                        and x not in state["skipped"]]
             if not [x for x in pending if x.startswith("trial")]:
                 break
-            got = run_worker(pending, phase_iters)
+            cap = min(TRIAL_WORKER_CAP_BASE_S
+                      + TRIAL_WORKER_CAP_PER_ITEM_S * len(pending),
+                      TRIAL_WORKER_CAP_MAX_S)
+            got = run_worker(pending, phase_iters, cap_s=cap)
             if not got:  # worker crashed/timed out with nothing: cool down
                 relaunches += 1
                 if time.time() + COOLDOWN_S + MIN_TRIAL_HEADROOM_S < deadline:
@@ -414,6 +451,7 @@ def main():
         "budget_s": TOTAL_BUDGET_S,
         "elapsed_s": round(time.time() - t_start, 1),
         "worker_launches": state["launches"],
+        "worker_windows": state["windows"],
         "device": state["device"],
         "assumed_baseline_s_per_image": round(BASELINE_S_PER_IMAGE, 1),
         "iters_budget": C3X_FAST_TOTAL_ITERS,

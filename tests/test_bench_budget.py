@@ -78,6 +78,32 @@ def _fake_worker(trial_value=3000.0, probe_value=150.0, oom_batches=()):
     return fake_run
 
 
+def test_hung_worker_costs_one_capped_window(monkeypatch, capsys, no_teardown):
+    """Round-4 flaw: a tunnel-hung worker inherited `timeout=remaining` and
+    burned the whole budget (2 launches in 765 s). Every launch must now be
+    individually capped so the orchestrator gets many independent windows."""
+    monkeypatch.setattr(bench, "TOTAL_BUDGET_S", 780.0)
+    monkeypatch.setattr(bench, "COOLDOWN_S", 0.05)
+    monkeypatch.setattr(bench, "GATE_COOLDOWN_S", 0.05)
+    timeouts = []
+
+    def fake_run(cmd, **kw):
+        timeouts.append(kw["timeout"])
+        raise subprocess.TimeoutExpired(cmd, kw["timeout"])
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    rec = run_main(capsys)
+    assert rec["value"] is None
+    # gate probes capped tight, trial windows capped at the window max
+    assert timeouts[0] <= bench.PROBE_WORKER_CAP_S
+    assert timeouts[1] <= bench.PROBE_WORKER_CAP_S
+    assert all(t <= bench.TRIAL_WORKER_CAP_MAX_S for t in timeouts[2:])
+    # a dead tunnel yields MANY windows inside the budget, not 2
+    assert len(timeouts) >= 6
+    assert rec["detail"]["worker_launches"] == len(timeouts)
+    assert len(rec["detail"]["worker_windows"]) == len(timeouts)
+
+
 def test_healthy_run_reports_headline(monkeypatch, capsys, no_teardown):
     monkeypatch.setattr(bench, "TOTAL_BUDGET_S", 400.0)
     monkeypatch.setattr(bench.subprocess, "run", _fake_worker())
