@@ -1268,24 +1268,37 @@ def cmd_finalize(args) -> None:
     cand_per_lmbda = {}
     for (seq, lm), n in enc_counts.items():
         cand_per_lmbda[lm] = max(cand_per_lmbda.get(lm, 0), n)
+    n_planned = len({j["seq"] for b in batches
+                     for j in b["jobs"] if not j.get("pad")})
+    # Partial coverage: name the mean for what it is, so a consumer reading
+    # only that field cannot mistake a 1-sequence mean for a dataset number.
+    mean_key = ("bd_rate_vs_reference_pct_mean" if len(per_seq) >= n_planned
+                else "bd_rate_vs_reference_pct_mean_over_finalized")
+    selection = (
+        "best RD per (seq, lambda) over the listed candidate encodes; "
+        "each candidate runs the full per-encode budget."
+    )
+    # Only claim candidate waves when some lambda actually has more
+    # finalized encodes than the reference's n_loops (a partial finalize
+    # can show count 1 everywhere even when waves are planned).
+    if cand_per_lmbda and max(cand_per_lmbda.values()) > BUDGETS[args.budget][1]:
+        selection += (
+            " Candidates beyond the reference's n_loops exist only at the "
+            "lambda with the largest count above (decoder-architecture "
+            "search waves: lop aux, frozen-zero-grid-0, 16-wide mop) — the "
+            "other lambdas are encode-effort-matched to the reference "
+            "recipe."
+        )
     summary = {
         "budget": args.budget,
         "n_sequences": len(per_seq),
-        "n_sequences_planned": len({j["seq"] for b in batches
-                                    for j in b["jobs"] if not j.get("pad")}),
-        "bd_rate_vs_reference_pct_mean": float(np.mean(list(per_seq.values()))),
+        "n_sequences_planned": n_planned,
+        mean_key: float(np.mean(list(per_seq.values()))),
         "bd_rate_per_seq": {k: round(v, 3) for k, v in sorted(per_seq.items())},
         "encode_candidates_per_lambda": {
             f"{lm:g}": n for lm, n in sorted(cand_per_lmbda.items())
         },
-        "selection": (
-            "best RD per (seq, lambda) over the listed candidate encodes; "
-            "each candidate runs the full per-encode budget. Candidates "
-            "beyond the reference's n_loops exist only at the lambda with "
-            "the largest count above (decoder-architecture search waves: "
-            "lop aux, frozen-zero-grid-0, 16-wide mop) — the other lambdas "
-            "are encode-effort-matched to the reference recipe."
-        ),
+        "selection": selection,
         "caveat": (
             "Both curves measured against the published lambda=1e-4 "
             "reconstruction as target (originals unavailable offline). "
@@ -1338,11 +1351,12 @@ def cmd_finalize(args) -> None:
             s = json.loads(sib.read_text())
         except Exception:
             continue
+        sib_mean_key = ("bd_rate_vs_reference_pct_mean"
+                        if "bd_rate_vs_reference_pct_mean" in s
+                        else "bd_rate_vs_reference_pct_mean_over_finalized")
         summary.setdefault("other_budgets", {})[sib_budget] = {
             "n_sequences": s.get("n_sequences"),
-            "bd_rate_vs_reference_pct_mean": s.get(
-                "bd_rate_vs_reference_pct_mean"
-            ),
+            sib_mean_key: s.get(sib_mean_key),
         }
     # attribution blocks live outside this budget's rebuild — re-inject so
     # a refinalize never silently drops them from the canonical file
