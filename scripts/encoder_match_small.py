@@ -64,6 +64,18 @@ POINTS = (
 N_ITR = 10_600  # c3x fast: cfg/enc/fast.cfg
 SCALE = 4
 
+# --budget on ours/ingest: (phase-1 iters, independent loops) — reference
+# cfg/enc/{fast,medium}.cfg. A medium row answers the round-4 verdict's
+# "is the MIXED verdict budget-specific?" at 2.8x the fast effort.
+BUDGET_ITRS = {"fast": (10_600, 1), "medium": (30_000, 2)}
+
+
+def _result_stem(name: str, lmbda: float, budget: str) -> str:
+    """Per-(point, budget) artifact stem; fast keeps the original unsuffixed
+    names so pre-existing rows/files stay addressable."""
+    stem = f"{name}_{lmbda:g}"
+    return stem if budget == "fast" else f"{stem}_{budget}"
+
 
 def _small_name(seq: str) -> str:
     # actual size read from the target file; name fixed by seq
@@ -109,15 +121,21 @@ def cmd_ours(args) -> None:
 
     name = _small_name(args.seq)
     SMALL_OURS.mkdir(parents=True, exist_ok=True)
-    out_cool = SMALL_OURS / f"{name}_{args.lmbda:g}.cool"
+    budget = getattr(args, "budget", "fast")  # tolerate pre-budget callers
+    n_itr, n_loops = BUDGET_ITRS[budget]
+    if args.n_itr is not None:
+        n_itr = args.n_itr
+    stem = _result_stem(name, args.lmbda, budget)
+    out_cool = SMALL_OURS / f"{stem}.cool"
     t0 = time.time()
     rc = encode_main([
         "--input", str(SMALL_TARGETS / f"{name}.png"),
         "--output", str(out_cool),
-        "--workdir", str(SMALL_OURS / f"run_{name}_{args.lmbda:g}"),
+        "--workdir", str(SMALL_OURS / f"run_{stem}"),
         "--lmbda", str(args.lmbda),
         "--enc_preset", "c3x",
-        "--n_itr", str(args.n_itr),
+        "--n_itr", str(n_itr),
+        "--n_train_loops", str(n_loops),
         "--dec_cfg", str(REPO / "cfg/dec/hop.yaml"),
         "--seed", "0",
         "--disable_wandb",
@@ -137,10 +155,12 @@ def cmd_ours(args) -> None:
         "rate_bpp": len(out_cool.read_bytes()) * 8 / (target.shape[1] * target.shape[2]),
         "psnr_db_vs_target": psnr(np.asarray(img), target),
         "encode_wall_s": round(wall, 1),
-        "n_itr": args.n_itr,
+        "n_itr": n_itr,
+        "n_train_loops": n_loops,
+        "budget": budget,
         "bitstream": str(out_cool),
     }
-    (SMALL_OURS / f"{name}_{args.lmbda:g}.json").write_text(json.dumps(row, indent=2))
+    (SMALL_OURS / f"{stem}.json").write_text(json.dumps(row, indent=2))
     print(json.dumps(row))
 
 
@@ -149,7 +169,9 @@ def cmd_ingest(args) -> None:
     from coolchic_tpu.io import load_frame_data_from_file
 
     name = _small_name(args.seq)
-    ours = json.loads((SMALL_OURS / f"{name}_{args.lmbda:g}.json").read_text())
+    budget = getattr(args, "budget", "fast")  # tolerate pre-budget callers
+    stem = _result_stem(name, args.lmbda, budget)
+    ours = json.loads((SMALL_OURS / f"{stem}.json").read_text())
     target = np.asarray(
         load_frame_data_from_file(str(SMALL_TARGETS / f"{name}.png")).data
     )
@@ -170,7 +192,7 @@ def cmd_ingest(args) -> None:
     entry = {
         "seq": name,
         "lmbda": lm,
-        "budget": "fast",
+        "budget": budget,
         "kind": "same_budget",
         "same_budget": True,
         "scale": name.split("_")[-1] + " (4x Lanczos downscale of the sweep "
@@ -194,6 +216,7 @@ def cmd_ingest(args) -> None:
     doc["rows"] = [
         r for r in doc["rows"]
         if not (r["seq"] == entry["seq"] and r["lmbda"] == entry["lmbda"]
+                and r.get("budget", "fast") == entry["budget"]
                 and r.get("kind") == "same_budget")
     ]
     doc["rows"].append(entry)
@@ -216,16 +239,21 @@ def main() -> None:
         p = sub.add_parser(c)
         p.add_argument("--seq", required=True)
         p.add_argument("--lmbda", type=float, required=True)
+        p.add_argument("--budget", choices=list(BUDGET_ITRS), default="fast")
         if c == "ours":
-            p.add_argument("--n_itr", type=int, default=N_ITR)
+            p.add_argument("--n_itr", type=int, default=None)
         else:
             p.add_argument("--ref_bitstream", required=True)
             p.add_argument("--ref_wall_s", type=float, default=None)
-            p.add_argument("--note", default=(
-                "reference encoder torch-CPU eager (TORCH_COMPILE_DISABLE=1), "
-                "same 192x128-scale target, same c3x fast budget "
-                "(n_itr=10600, 1 loop, warmup included)"))
+            p.add_argument("--note", default=None)
     args = ap.parse_args()
+    if getattr(args, "cmd", None) == "ingest" and args.note is None:
+        n_itr, n_loops = BUDGET_ITRS[args.budget]
+        args.note = (
+            "reference encoder torch-CPU eager (TORCH_COMPILE_DISABLE=1), "
+            f"same 192x128-scale target, same c3x {args.budget} budget "
+            f"(n_itr={n_itr}, {n_loops} loop{'s' if n_loops > 1 else ''}, "
+            "warmup included)")
     {"prepare": cmd_prepare, "ours": cmd_ours, "ingest": cmd_ingest}[args.cmd](args)
 
 
