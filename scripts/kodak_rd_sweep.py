@@ -1106,8 +1106,13 @@ def _calibration_caveat() -> str:
     try:
         mc = json.loads(bias.read_text())["measured_calibration_points"]
         if mc.get("n_points", 0) >= 2:
+            kind = ("real-methodology calibration contents (proxy = "
+                    "published or reference-encoder reconstruction)"
+                    if "self_proxy_footnote" in mc or any(
+                        k.endswith("_x") for k in mc.get("points", {}))
+                    else "ground-truth calibration contents")
             return (
-                f"{mc['n_points']} ground-truth calibration contents "
+                f"{mc['n_points']} {kind} "
                 f"measure the actual flattery at {mc['min_pct']:+.2f}%.."
                 f"{mc['max_pct']:+.2f}% BD-rate (mean {mc['mean_pct']:+.2f}%"
                 ", scripts/proxy_inflation_probe.py -> "
@@ -1378,6 +1383,28 @@ def cmd_finalize(args) -> None:
             + _calibration_caveat()
         ),
     }
+    # Round-4 verdict: state the headline as a RANGE — proxy-space number
+    # plus the measured flattery interval from the calibration probe.
+    try:
+        mc = json.loads(
+            (Path(__file__).resolve().parents[1]
+             / "results/image/kodak/tpu_sweep/proxy_bias.json").read_text()
+        )["measured_calibration_points"]
+        if mc.get("n_points", 0) >= 2:
+            m = summary[mean_key]
+            summary["true_space_estimate_pct"] = {
+                "proxy_space_mean_pct": round(m, 3),
+                "plus_measured_flattery_range": [
+                    round(m + mc["min_pct"], 3),
+                    round(m + mc["max_pct"], 3),
+                ],
+                "basis": ("proxy-space mean shifted by the measured "
+                          "flattery interval (inflation_probe/points.json "
+                          "real-methodology points; flattery measured at "
+                          "192x128 scale)"),
+            }
+    except Exception:
+        pass
     if args.budget in ("smoke", "slowtail"):
         # Side experiments: archive under their own suffix and never touch
         # the canonical judge-visible bd_rate.json (smoke = 60-iter
