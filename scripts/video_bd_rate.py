@@ -44,13 +44,58 @@ def make_sequence(h: int, w: int, n_frames: int):
     return [np.roll(base, 3 * i, axis=-1) for i in range(n_frames)]
 
 
+def make_natural_sequence(h: int, w: int, n_frames: int):
+    """Real photographic GOP (round-4 verdict #7): a crop window panning
+    (2.5 px/frame) and slowly zooming (+0.4%/frame) across a decoded CLIC20
+    2K reconstruction — camera-like global motion on natural texture, the
+    only real photographic pixels available offline. Subpixel warp means
+    the motion is NOT exactly representable (unlike the synthetic case)."""
+    import numpy as np
+    from PIL import Image
+
+    tdir = (Path(__file__).resolve().parents[1]
+            / "results/image/clic20-pro-valid/tpu_sweep/targets")
+    src_path = sorted(tdir.glob("*.npy"))[0]
+    arr = np.clip(np.load(src_path), 0.0, 1.0)  # (3, H, W) float32
+    H, W = arr.shape[1:]
+    im = Image.fromarray((arr * 255 + 0.5).astype(np.uint8).transpose(1, 2, 0))
+    frames = []
+    # crop ~4x the output size so the downscale keeps real detail
+    ch, cw = min(4 * h, H - 32), min(4 * w, W - 32)
+    y0, x0 = (H - ch) // 2, (W - cw) // 4
+    for i in range(n_frames):
+        zoom = 1.0 + 0.004 * i
+        zh, zw = int(ch / zoom), int(cw / zoom)
+        dy, dx = int(2.5 * 4 * i), int(2.5 * 4 * i)  # 2.5 out-px/frame pan
+        box = (x0 + dx + (cw - zw) // 2, y0 + dy + (ch - zh) // 2,
+               x0 + dx + (cw - zw) // 2 + zw, y0 + dy + (ch - zh) // 2 + zh)
+        fr = im.crop(box).resize((w, h), Image.LANCZOS)
+        frames.append(np.asarray(fr).astype(np.float32).transpose(2, 0, 1)
+                      / 255.0)
+    return frames, src_path.name
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="64x96")
     ap.add_argument("--iters", type=int, default=600)
     ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--content", choices=("synthetic", "natural"),
+                    default="synthetic")
+    ap.add_argument("--platform", choices=("tpu", "cpu"), default="tpu",
+                    help="cpu = smoke-test plumbing without touching the "
+                    "shared TPU tunnel")
     ap.add_argument("--out", type=Path, default=Path("results/video/bd_rate.json"))
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import os
+
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=1")
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -64,7 +109,10 @@ def main() -> int:
     from coolchic_tpu.video import CodingStructure, VideoEncoder
 
     h, w = map(int, args.size.split("x"))
-    frames = make_sequence(h, w, args.frames)
+    if args.content == "natural":
+        frames, src_name = make_natural_sequence(h, w, args.frames)
+    else:
+        frames, src_name = make_sequence(h, w, args.frames), None
 
     tdir = Path(tempfile.mkdtemp())
     seq = tdir / f"seq_{w}x{h}_25fps_yuv444_8b.yuv"
@@ -135,20 +183,41 @@ def main() -> int:
         [r["rate_bpp"] for r in curves["inter_gop"]],
         [r["psnr_db"] for r in curves["inter_gop"]],
     )
-    out = {
-        "what": "BD-rate of motion-compensated inter GOP (I+P, depth-scaled "
-        "lambda) vs all-intra on a synthetic translating sequence "
-        f"({args.frames} frames, {h}x{w}, {args.iters} iters/frame). "
-        "Favourable content for inter coding (pure translation) — this "
-        "measures that the motion path WORKS at equal quality, not a "
-        "natural-video average.",
-        "lambdas": list(LAMBDAS),
-        "curves": curves,
-        "bd_rate_inter_vs_intra_pct": round(bd, 2),
-    }
-    args.out.parent.mkdir(parents=True, exist_ok=True)
-    args.out.write_text(json.dumps(out, indent=2))
-    print(f"BD-rate inter vs intra: {bd:+.2f}% -> {args.out}")
+    if args.content == "natural":
+        entry = {
+            "what": "BD-rate of motion-compensated inter GOP (I+P chain, "
+            "depth-scaled lambda) vs all-intra on a REAL photographic "
+            f"sequence: {args.frames} frames, {h}x{w}, {args.iters} "
+            f"iters/frame, panning+zooming crop of the decoded CLIC20 "
+            f"reconstruction {src_name} (2.5 px/frame pan, +0.4%/frame "
+            "zoom; subpixel global motion, not exactly representable).",
+            "lambdas": list(LAMBDAS),
+            "curves": curves,
+            "bd_rate_inter_vs_intra_pct": round(bd, 2),
+        }
+        doc = json.loads(args.out.read_text()) if args.out.exists() else {}
+        doc["natural_content"] = entry
+        args.out.parent.mkdir(parents=True, exist_ok=True)
+        args.out.write_text(json.dumps(doc, indent=2))
+    else:
+        entry = {
+            "what": "BD-rate of motion-compensated inter GOP (I+P, "
+            "depth-scaled lambda) vs all-intra on a synthetic translating "
+            f"sequence ({args.frames} frames, {h}x{w}, {args.iters} "
+            "iters/frame). Favourable content for inter coding (pure "
+            "translation) — this measures that the motion path WORKS at "
+            "equal quality, not a natural-video average.",
+            "lambdas": list(LAMBDAS),
+            "curves": curves,
+            "bd_rate_inter_vs_intra_pct": round(bd, 2),
+        }
+        # keep any natural_content block a previous run added
+        prev = json.loads(args.out.read_text()) if args.out.exists() else {}
+        if "natural_content" in prev:
+            entry["natural_content"] = prev["natural_content"]
+        args.out.parent.mkdir(parents=True, exist_ok=True)
+        args.out.write_text(json.dumps(entry, indent=2))
+    print(f"BD-rate inter vs intra ({args.content}): {bd:+.2f}% -> {args.out}")
     return 0
 
 
