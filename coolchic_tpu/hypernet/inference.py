@@ -102,6 +102,59 @@ def eval_image_delta_subsets(
     return best
 
 
+def eval_image_delta_subsets_rated(
+    net: DeltaWholeNet,
+    state: WholeNetState,
+    img: jax.Array,  # [3, H, W]
+    lmbda: float,
+) -> Dict:
+    """Delta-subset switch search with the delta TRANSMISSION rate
+    accounted: each enabled module's RD-quantized delta pays its measured
+    exp-Golomb rate (rate_nn), so the selection genuinely trades delta
+    bits against distortion. The free-delta variant above always selects
+    the full subset because deltas cost nothing there (round-4 verdict).
+
+    The deltas are quantized once with every module enabled (greedy
+    per-module, reference: quantizemodel.py:443-616) and subsets reuse
+    that quantization — the same simplification the reference's switch
+    search makes (its per-option evals share the trained quantization,
+    inference.py:98-177)."""
+    from coolchic_tpu.models.coolchic import coolchic_forward_latents
+
+    lat0, qdeltas, infos = quantize_image_deltas(net, state, img, lmbda)
+    cfg: CoolChicConfig = net.cfg
+    n_pix = img.shape[1] * img.shape[2]
+    names = ("arm", "synthesis", "upsampling")
+
+    best = None
+    for use in itertools.product([False, True], repeat=3):
+        on = dict(zip(names, use))
+        nets = {
+            m: (jax.tree.map(lambda b, d: b + d, state.decoder[m], qdeltas[m])
+                if on[m] else state.decoder[m])
+            for m in names
+        }
+        decoded, rate, _ = coolchic_forward_latents(nets, lat0, cfg,
+                                                    training=False)
+        out = loss_function(decoded, rate, img, lmbda)
+        rate_nn_bpp = sum(
+            float(infos[m].rate_bits) for m in names if on[m]
+        ) / n_pix
+        row = {
+            "loss": float(out.loss) + lmbda * rate_nn_bpp,
+            "psnr_db": float(out.psnr_db),
+            "rate_latent_bpp": float(out.rate_latent_bpp),
+            "rate_nn_bpp": rate_nn_bpp,
+            "option_selected": (
+                f"arm={int(on['arm'])},syn={int(on['synthesis'])},"
+                f"ups={int(on['upsampling'])}"
+            ),
+        }
+        if best is None or row["loss"] < best["loss"]:
+            best = row
+    return best
+
+
 def quantize_image_deltas(
     net: DeltaWholeNet,
     state: WholeNetState,

@@ -55,6 +55,22 @@ def test_delta_subset_search_picks_best(tmp_path):
     assert "option_selected" in row and np.isfinite(row["loss"])
 
 
+def test_delta_subset_search_rated_accounts_delta_rate():
+    from coolchic_tpu.hypernet.inference import eval_image_delta_subsets_rated
+
+    net = DeltaWholeNet(CFG, n_hidden_channels=8, **HN_KW)
+    state = net.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(next(synthetic_batches(1, CFG.img_size))[0])
+    row = eval_image_delta_subsets_rated(net, state, img, 1e-3)
+    assert np.isfinite(row["loss"])
+    assert row["rate_nn_bpp"] >= 0.0
+    # the all-off option pays zero delta rate, so whenever any module is
+    # enabled the winner must have judged its delta bits worth paying
+    if row["option_selected"] != "arm=0,syn=0,ups=0":
+        on = [kv.split("=")[1] == "1" for kv in row["option_selected"].split(",")]
+        assert any(on) and row["rate_nn_bpp"] > 0.0
+
+
 def test_eval_dataset_csv(tmp_path):
     net = NOWholeNet(CFG, n_hidden_channels=8)
     state = net.init(jax.random.PRNGKey(0))
