@@ -193,12 +193,21 @@ def test_slowtail_budget_restricted_to_tail_no_waves(sweep, tmp_path):
     batches = sweep.job_list("slowtail")
     assert all("arch" not in b for b in batches), "no candidate waves"
     jobs = [j for b in batches for j in b["jobs"] if not j.get("pad")]
-    assert {j["seq"] for j in jobs} == set(sweep.TAIL_SEQS)
+    tail_all = sweep.TAIL_SEQS + sweep.TAIL_SEQS_EXT
+    assert {j["seq"] for j in jobs} == set(tail_all)
     _, n_loops = sweep.BUDGETS["slowtail"]
-    assert len(jobs) == len(sweep.TAIL_SEQS) * len(sweep.SWEEP_LAMBDAS) * n_loops
-    for seq in sweep.TAIL_SEQS:
+    assert len(jobs) == len(tail_all) * len(sweep.SWEEP_LAMBDAS) * n_loops
+    for seq in tail_all:
         assert {j["lmbda"] for j in jobs if j["seq"] == seq} == set(
             sweep.SWEEP_LAMBDAS)
+    # extension batches are strictly appended: the base plan's batch
+    # indices/uid assignment are unchanged by the ext wave
+    base_uids = [j["uid"] for b in batches for j in b["jobs"]
+                 if not j.get("pad") and j["seq"] in sweep.TAIL_SEQS]
+    assert max(base_uids) == len(sweep.TAIL_SEQS) * len(sweep.SWEEP_LAMBDAS) - 1
+    ext_first = min(j["uid"] for b in batches for j in b["jobs"]
+                    if not j.get("pad") and j["seq"] in sweep.TAIL_SEQS_EXT)
+    assert ext_first == len(sweep.TAIL_SEQS) * len(sweep.SWEEP_LAMBDAS)
     uids = [j["uid"] for j in jobs]
     assert len(uids) == len(set(uids))
 
