@@ -256,11 +256,16 @@ def stop_sweep_processes(pidfiles=None, cmdline_tags=None) -> list[int]:
             "/tmp/tpu_swap.pid",
             "/tmp/tpu_stage2.pid",
             "/tmp/tpu_stage3.pid",
+            # Round-5 chip-window wrappers: the bash stage script must die
+            # WITH its python child, or it would launch the next TPU step
+            # mid-bench. The video job is timeout-bounded but cheap to cover.
+            "/tmp/hn_stage.pid",
+            "/tmp/video_natural.pid",
         ]
     if cmdline_tags is None:
         cmdline_tags = ("rd_sweep", "inflation_probe", "sweep_supervisor",
                         "hypernet_demo", "tpu_swap", "tpu_stage2",
-                        "tpu_stage3")
+                        "tpu_stage3", "hn_stage", "video_bd_rate")
     pids = []
     for pf in pidfiles:
         try:
