@@ -261,11 +261,12 @@ def stop_sweep_processes(pidfiles=None, cmdline_tags=None) -> list[int]:
             # mid-bench. The video job is timeout-bounded but cheap to cover.
             "/tmp/hn_stage.pid",
             "/tmp/video_natural.pid",
+            "/tmp/probe_x.pid",
         ]
     if cmdline_tags is None:
         cmdline_tags = ("rd_sweep", "inflation_probe", "sweep_supervisor",
                         "hypernet_demo", "tpu_swap", "tpu_stage2",
-                        "tpu_stage3", "hn_stage", "video_bd_rate")
+                        "tpu_stage3", "hn_stage", "video_bd_rate", "probe_x")
     pids = []
     for pf in pidfiles:
         try:
