@@ -95,6 +95,16 @@ def conclusion() -> dict | None:
         "n_points": len(pts),
         "points": pts,
         "mean_ours_minus_ref_rd_cost_pct": round(mean, 3),
+        # Per-lambda view (round-4 verdict #5): the sweep deficit
+        # concentrates at 2e-2, so the match verdict is stated per
+        # operating point, not just per image.
+        "per_lambda_mean_ours_minus_ref_pct": {
+            f"{lm:g}": round(
+                sum(p["ours_minus_ref_rd_cost_pct"] for p in pts
+                    if p["lmbda"] == lm)
+                / len([p for p in pts if p["lmbda"] == lm]), 3)
+            for lm in sorted({p["lmbda"] for p in pts})
+        },
         "verdict": verdict,
     }
 
