@@ -131,6 +131,15 @@ def corpus_split(full: bool):
     return train_paths, test_paths
 
 
+def _write_rows_csv(out, rows) -> None:
+    """Rewrite the CSV after every row: a step timeout mid-loop keeps
+    every completed row on disk instead of losing the whole table."""
+    with open(out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+
 def _ckpt(name: str, full: bool) -> Path:
     return WORKDIR / (f"{name}_full.pkl" if full else f"{name}.pkl")
 
@@ -272,13 +281,11 @@ def cmd_eval(args) -> None:
         row["scratchK_loss"] = float(m.loss)
         rows.append(row)
         print(json.dumps(row), flush=True)
+        _write_rows_csv(
+            WORKDIR / f"results{'_full' if args.full else ''}.csv", rows)
 
     suffix = "_full" if args.full else ""
     out = WORKDIR / f"results{suffix}.csv"
-    with open(out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
     mean = lambda k: sum(r[k] for r in rows) / len(rows)  # noqa: E731
     summary = {
         "n_images": len(rows),
@@ -361,6 +368,7 @@ def cmd_ablation(args) -> None:
                     "anchor": "hypernet_no",
                 })
                 print(json.dumps(rows[-1]), flush=True)
+                _write_rows_csv(WORKDIR / "kodak_results.csv", rows)
 
             d_net = DeltaWholeNet(cfg_e)
             best = eval_image_delta_subsets_rated(d_net, d_state, img, lm)
@@ -375,13 +383,9 @@ def cmd_ablation(args) -> None:
                 "anchor": "hypernet",
             })
             print(json.dumps(rows[-1]), flush=True)
+            _write_rows_csv(WORKDIR / "kodak_results.csv", rows)
 
-    out = WORKDIR / "kodak_results.csv"
-    with open(out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
-    print(f"wrote {out} ({len(rows)} rows)")
+    print(f"wrote {WORKDIR / 'kodak_results.csv'} ({len(rows)} rows)")
 
 
 def cmd_oneshot(args) -> None:
