@@ -79,7 +79,8 @@ COOLDOWN_S = 30
 PROBE_WORKER_CAP_S = 90
 TRIAL_WORKER_CAP_BASE_S = 120   # jax init + (cached) train-step compile
 TRIAL_WORKER_CAP_PER_ITEM_S = 40
-TRIAL_WORKER_CAP_MAX_S = 210
+TRIAL_WORKER_CAP_MAX_S = 240  # batch-64 on a degraded tunnel spends ~60 s
+# uploading 64 images' params+targets before its (cache-hit) program runs
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "780"))
 FINAL_PRINT_RESERVE_S = 15  # always keep this much to emit the JSON line
 MIN_TRIAL_HEADROOM_S = 100  # don't start a trial with less than this left
@@ -403,13 +404,19 @@ def main():
 
         # Trial order is batch-major within a round so every batch size gets
         # a first measurement before any gets its second (deadline may cut
-        # the tail). Closing probe runs last if time remains.
-        todo = [f"trial:{b}x{t}" for t in range(N_TRIALS) for b in BATCHES]
+        # the tail). Round 0 leads with batch 64 — the north-star row — so
+        # a degraded chip whose windows only fit 1-2 trials still measures
+        # it (its 2x32-chunk program shares the batch-32 compile cache
+        # entry). Closing probe runs last if time remains.
+        first = sorted(BATCHES, reverse=True)
+        todo = [f"trial:{b}x{t}" for t in range(N_TRIALS)
+                for b in (first if t == 0 else BATCHES)]
         todo.append("probe:11")
         relaunches = 0
         # Windows are individually capped now, so allow more of them: an
         # empty-handed window costs <= TRIAL_WORKER_CAP_MAX_S + COOLDOWN_S
         # and the deadline check bounds the total regardless.
+        attempts: dict = {}
         while time.time() + MIN_TRIAL_HEADROOM_S < deadline and relaunches < 12:
             oom_b = {k.partition(":")[2].partition("x")[0]
                      for k in state["results"] if k.startswith("oom:")}
@@ -417,12 +424,23 @@ def main():
                        if x not in state["results"]
                        and x.partition(":")[2].partition("x")[0] not in oom_b
                        and x not in state["skipped"]]
+            # An item that already burned a window without completing moves
+            # to the back: a too-slow batch-64 trial must not starve the
+            # others. (Stable sort keeps todo order within equal counts.)
+            pending.sort(key=lambda x: attempts.get(x, 0))
             if not [x for x in pending if x.startswith("trial")]:
                 break
             cap = min(TRIAL_WORKER_CAP_BASE_S
                       + TRIAL_WORKER_CAP_PER_ITEM_S * len(pending),
                       TRIAL_WORKER_CAP_MAX_S)
             got = run_worker(pending, phase_iters, cap_s=cap)
+            # Blame the window's unfinished time on the first item that did
+            # not complete (the worker runs the list in order); items after
+            # it were never reached and keep their attempt count.
+            for x in pending:
+                if x not in state["results"] and x not in state["skipped"]:
+                    attempts[x] = attempts.get(x, 0) + 1
+                    break
             if not got:  # worker crashed/timed out with nothing: cool down
                 relaunches += 1
                 if time.time() + COOLDOWN_S + MIN_TRIAL_HEADROOM_S < deadline:

@@ -104,6 +104,43 @@ def test_hung_worker_costs_one_capped_window(monkeypatch, capsys, no_teardown):
     assert len(rec["detail"]["worker_windows"]) == len(timeouts)
 
 
+def test_batch64_leads_round0_and_slow_items_rotate_back(
+        monkeypatch, capsys, no_teardown):
+    """Round 0 leads with the north-star batch-64 trial, and an item that
+    burns a window without completing rotates to the back so it cannot
+    starve the other batch sizes."""
+    monkeypatch.setattr(bench, "TOTAL_BUDGET_S", 700.0)
+    monkeypatch.setattr(bench, "COOLDOWN_S", 0.05)
+    monkeypatch.setattr(bench, "GATE_COOLDOWN_S", 0.05)
+    first_items = []
+
+    def fake_run(cmd, **kw):
+        todo = cmd[cmd.index("--todo") + 1].split(",")
+        lines = [json.dumps({"kind": "device", "value": "axon:fake"})]
+        kind, _, arg = todo[0].partition(":")
+        if kind == "probe":
+            lines.append(json.dumps({"kind": "probe", "arg": arg,
+                                     "value": 150.0}))
+        else:
+            first_items.append(todo[0])
+            # complete ONLY the first trial of the window, except batch 64
+            # which is "too slow" and never completes
+            if not arg.startswith("64"):
+                b = int(arg.partition("x")[0])
+                lines.append(json.dumps({"kind": "trial", "arg": arg,
+                                         "value": 1000.0 * b}))
+        return types.SimpleNamespace(
+            returncode=0, stdout="\n".join(lines) + "\n", stderr="")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    rec = run_main(capsys)
+    # batch 64 led the first trial window...
+    assert first_items[0] == "trial:64x0"
+    # ...but after failing it rotated back and 8/32 got measured
+    assert rec["value"] is not None
+    assert set(rec["detail"]["per_batch_it_per_s"]) == {"8", "32"}
+
+
 def test_healthy_run_reports_headline(monkeypatch, capsys, no_teardown):
     monkeypatch.setattr(bench, "TOTAL_BUDGET_S", 400.0)
     monkeypatch.setattr(bench.subprocess, "run", _fake_worker())
